@@ -1,0 +1,86 @@
+"""Shared attention core (XLA path).
+
+One `attend` function serves every attention in the framework (perceiver
+cross-attention, media-masked text->visual cross-attention, causal LM
+self-attention, ViT self-attention). XLA fuses the softmax chain with the
+surrounding matmuls; the Pallas fast path lives in ``ops/pallas_attn.py``.
+
+Numerics notes for parity with the reference:
+- The reference masks with ``-finfo.max`` then subtracts a detached rowwise
+  amax before softmax (/root/reference/flamingo_mini/gated_cross_attention.py:112-115,
+  perceiver_resampler.py:88-89). We reproduce exactly that sequence.
+- HF GPT-2/OPT/CLIP instead use additive masks with ``finfo.min`` and plain
+  softmax; those trunks pass ``bias`` instead of ``mask``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Most-negative finite value used by the reference's masked_fill.
+NEG_MAX = float(jnp.finfo(jnp.float32).max)
+
+
+def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """(b, n, h*d) -> (b, h, n, d)"""
+    b, n, hd = x.shape
+    return x.reshape(b, n, n_heads, hd // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(b, h, n, d) -> (b, n, h*d)"""
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def attend(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    stabilize: bool = False,
+    precision=None,
+) -> jnp.ndarray:
+    """Scaled-dot-product attention core.
+
+    Args:
+      q: (..., n_q, d) — already scaled by the caller (the reference scales q
+         by dim_head**-0.5 before the QK matmul).
+      k, v: (..., n_kv, d)
+      mask: optional boolean (broadcastable to (..., n_q, n_kv)); False
+         positions are filled with ``-finfo.max`` (reference masked_fill).
+      bias: optional additive float mask (HF-style, already contains
+         finfo.min at disallowed positions).
+      scale: optional multiplier applied to the raw scores *after* the QK
+         matmul (HF GPT-2 divides scores by sqrt(d) post-matmul; pre-scaling q
+         gives ulp-different results, which matters for bitwise greedy parity).
+      stabilize: subtract detached rowwise amax before softmax (the
+         reference's explicit stabilization; mathematically a no-op but kept
+         for exact numerics in parity mode).
+
+    Returns (..., n_q, d).
+    """
+    dtype = q.dtype
+    sim = jnp.matmul(q, jnp.swapaxes(k, -1, -2), precision=precision,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    if scale is not None:
+        sim = sim * jnp.asarray(scale, dtype)
+    # masked_fill (where) comes before the additive bias: HF GPT-2 applies the
+    # causal where(finfo.min) first, then adds the padding bias. finfo.min is
+    # the same value as -finfo.max, so one constant serves both conventions.
+    if mask is not None:
+        sim = jnp.where(mask, sim, jnp.asarray(-NEG_MAX, dtype))
+    if bias is not None:
+        sim = sim + bias.astype(dtype)
+    if stabilize:
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+    # softmax in fp32 for bf16 stability
+    alphas = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(dtype)
+    out = jnp.matmul(alphas, v, precision=precision,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out
