@@ -1,0 +1,189 @@
+"""GPT-2 decoder trunk (JAX, functional) with explicit KV cache.
+
+Replaces the reference's frozen HF ``GPT2Model`` trunk
+(/root/reference/flamingo_mini/modeling_flamingo.py:309-331). We own the
+decoder implementation, so Flamingo's gated cross-attention is injected as an
+explicit ``layer_hook`` callback before every ``xattn_every``-th block — no
+layer hijacking / ``condition()`` side-channel (reference
+gated_cross_attention.py:187-252).
+
+Numerics match HF ``GPT2Model`` eager attention for bitwise greedy parity:
+QK matmul -> divide by sqrt(d_head) -> causal masked_fill(finfo.min) ->
+additive padding bias -> softmax (transformers gpt2 eager_attention_forward).
+MLP activation is 'gelu_new' (tanh GELU).
+
+KV cache: preallocated ``(b, h, max_len, d_head)`` per layer, written with
+``lax.dynamic_update_slice`` at ``cache_index`` — static shapes throughout,
+as required under ``jit``/``lax.while_loop`` decode.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..configuration_flamingo import GPT2Arch
+from ..ops.attention import attend, merge_heads, split_heads
+from ..ops.layers import Policy, init_layer_norm, init_linear, layer_norm, linear, dot, get_activation
+
+Params = Dict[str, Any]
+LayerHook = Callable[[int, jnp.ndarray], jnp.ndarray]
+Cache = List[Dict[str, jnp.ndarray]]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_gpt2(key, arch: GPT2Arch, extra_tokens: int = 1) -> Params:
+    """Random-init trunk. ``extra_tokens`` adds rows to wte for ``<EOC>``
+    (the reference resizes vocab+1; modeling_flamingo.py:323)."""
+    n_vocab = arch.vocab_size + extra_tokens
+    d = arch.n_embd
+    keys = jax.random.split(key, 2 + arch.n_layer)
+    blocks = []
+    for i in range(arch.n_layer):
+        kb = jax.random.split(keys[2 + i], 4)
+        blocks.append({
+            "ln_1": init_layer_norm(d),
+            "c_attn": init_linear(kb[0], d, 3 * d),
+            "c_proj": init_linear(kb[1], d, d),
+            "ln_2": init_layer_norm(d),
+            "mlp_fc": init_linear(kb[2], d, 4 * d),
+            "mlp_proj": init_linear(kb[3], 4 * d, d),
+        })
+    return {
+        "wte": jax.random.normal(keys[0], (n_vocab, d), jnp.float32) * 0.02,
+        "wpe": jax.random.normal(keys[1], (arch.n_positions, d), jnp.float32) * 0.01,
+        "blocks": blocks,
+        "ln_f": init_layer_norm(d),
+    }
+
+
+def init_cache(arch: GPT2Arch, batch: int, max_len: int, dtype) -> Cache:
+    d_head = arch.n_embd // arch.n_head
+    return [
+        {
+            "k": jnp.zeros((batch, arch.n_head, max_len, d_head), dtype),
+            "v": jnp.zeros((batch, arch.n_head, max_len, d_head), dtype),
+        }
+        for _ in range(arch.n_layer)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def _self_attention(
+    bp: Params,
+    x: jnp.ndarray,              # (b, n, d)
+    *,
+    n_head: int,
+    causal_mask: jnp.ndarray,    # (b or 1, 1, n, n_kv) bool
+    pad_bias: Optional[jnp.ndarray],  # (b, 1, 1, n_kv) additive or None
+    layer_cache: Optional[Dict[str, jnp.ndarray]],
+    cache_index: Optional[jnp.ndarray],
+    eps: float,
+    policy: Policy,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    h = layer_norm(x, bp["ln_1"], eps)
+    qkv = linear(h, bp["c_attn"], policy)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = split_heads(q, n_head)
+    k = split_heads(k, n_head)
+    v = split_heads(v, n_head)
+    d_head = q.shape[-1]
+
+    new_cache = None
+    if layer_cache is not None:
+        k = lax.dynamic_update_slice(layer_cache["k"], k, (0, 0, cache_index, 0))
+        v = lax.dynamic_update_slice(layer_cache["v"], v, (0, 0, cache_index, 0))
+        new_cache = {"k": k, "v": v}
+
+    out = attend(
+        q, k, v,
+        scale=1.0 / (d_head ** 0.5),  # HF divides post-matmul
+        mask=causal_mask,
+        bias=pad_bias,
+        precision=policy.precision,
+    )
+    return linear(merge_heads(out), bp["c_proj"], policy), new_cache
+
+
+def apply_gpt2(
+    p: Params,
+    input_ids: jnp.ndarray,            # (b, n)
+    *,
+    arch: GPT2Arch,
+    policy: Policy,
+    position_ids: Optional[jnp.ndarray] = None,   # (b, n)
+    attention_mask: Optional[jnp.ndarray] = None,  # (b, n_kv) 1=real token
+    layer_hook: Optional[LayerHook] = None,
+    cache: Optional[Cache] = None,
+    cache_index: Optional[jnp.ndarray] = None,     # scalar int32, write offset
+) -> Tuple[jnp.ndarray, Optional[Cache]]:
+    """Run the trunk. Returns final hidden states (b, n, d) and the updated
+    cache (None when not caching).
+
+    Without ``cache``: standard full-sequence causal attention over n tokens.
+    With ``cache``: K/V are written at ``cache_index``; attention spans the
+    full preallocated ``max_len`` with positions masked by causality against
+    the absolute query positions (``cache_index + arange(n)``) and by
+    ``attention_mask`` over kv slots.
+    """
+    b, n = input_ids.shape
+    if position_ids is None:
+        base = jnp.arange(n, dtype=jnp.int32)[None, :]
+        position_ids = base + (0 if cache_index is None else cache_index)
+
+    x = p["wte"].astype(policy.dtype)[input_ids] + p["wpe"].astype(policy.dtype)[position_ids]
+
+    if cache is not None:
+        n_kv = cache[0]["k"].shape[2]
+        q_pos = cache_index + jnp.arange(n, dtype=jnp.int32)           # (n,)
+        kv_pos = jnp.arange(n_kv, dtype=jnp.int32)                      # (n_kv,)
+        causal = (kv_pos[None, :] <= q_pos[:, None])[None, None]        # (1,1,n,n_kv)
+    else:
+        n_kv = n
+        causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+
+    pad_bias = None
+    if attention_mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
+                             0.0, neg).astype(policy.dtype)
+
+    new_cache: Optional[Cache] = [] if cache is not None else None
+    for i, bp in enumerate(p["blocks"]):
+        if layer_hook is not None:
+            x = layer_hook(i, x)
+        attn_out, layer_kv = _self_attention(
+            bp, x,
+            n_head=arch.n_head,
+            causal_mask=causal,
+            pad_bias=pad_bias,
+            layer_cache=None if cache is None else cache[i],
+            cache_index=cache_index,
+            eps=arch.layer_norm_epsilon,
+            policy=policy,
+        )
+        x = x + attn_out
+        h = layer_norm(x, bp["ln_2"], arch.layer_norm_epsilon)
+        h = linear(h, bp["mlp_fc"], policy)
+        h = get_activation(arch.activation)(h)
+        x = x + linear(h, bp["mlp_proj"], policy)
+        if new_cache is not None:
+            new_cache.append(layer_kv)
+
+    x = layer_norm(x, p["ln_f"], arch.layer_norm_epsilon)
+    return x, new_cache
+
+
+def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy) -> jnp.ndarray:
+    """Tied lm_head: logits = hidden @ wte^T (GPT-2 ties embeddings)."""
+    return dot(hidden, jnp.swapaxes(p["wte"].astype(hidden.dtype), 0, 1), policy)

@@ -1,0 +1,172 @@
+"""OPT decoder trunk (JAX, functional) with explicit KV cache.
+
+Replaces the reference's frozen HF ``OPTModel`` trunk
+(/root/reference/flamingo_mini/modeling_flamingo.py:334-356). Same explicit
+``layer_hook`` injection design as gpt2.py.
+
+Numerics match HF ``OPTModel`` eager attention: scores = QK^T * d_head**-0.5
+(post-matmul), additive causal+padding mask, fp32 softmax (transformers opt
+eager_attention_forward). Learned positional embeddings with offset 2,
+positions derived from the attention mask:
+``positions = cumsum(mask)*mask - 1`` (HF OPTLearnedPositionalEmbedding).
+Activation is relu; pre-norm layout (do_layer_norm_before=True) for all
+supported sizes except opt-350m (post-norm + project_in/out).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..configuration_flamingo import OPTArch
+from ..ops.attention import attend, merge_heads, split_heads
+from ..ops.layers import Policy, init_layer_norm, init_linear, layer_norm, linear, dot, get_activation
+
+Params = Dict[str, Any]
+LayerHook = Callable[[int, jnp.ndarray], jnp.ndarray]
+Cache = List[Dict[str, jnp.ndarray]]
+
+POS_OFFSET = 2  # HF OPTLearnedPositionalEmbedding offset
+
+
+def init_opt(key, arch: OPTArch, extra_tokens: int = 1) -> Params:
+    n_vocab = arch.vocab_size + extra_tokens
+    d = arch.hidden_size
+    w = arch.word_embed_proj_dim
+    keys = jax.random.split(key, 3 + arch.num_hidden_layers)
+    layers = []
+    for i in range(arch.num_hidden_layers):
+        kb = jax.random.split(keys[3 + i], 6)
+        layers.append({
+            "attn_ln": init_layer_norm(d),
+            "q_proj": init_linear(kb[0], d, d),
+            "k_proj": init_linear(kb[1], d, d),
+            "v_proj": init_linear(kb[2], d, d),
+            "out_proj": init_linear(kb[3], d, d),
+            "final_ln": init_layer_norm(d),
+            "fc1": init_linear(kb[4], d, arch.ffn_dim),
+            "fc2": init_linear(kb[5], arch.ffn_dim, d),
+        })
+    p: Params = {
+        "embed_tokens": jax.random.normal(keys[0], (n_vocab, w), jnp.float32) * 0.02,
+        "embed_positions": jax.random.normal(keys[1], (arch.max_position_embeddings + POS_OFFSET, d), jnp.float32) * 0.02,
+        "layers": layers,
+    }
+    if arch.do_layer_norm_before:
+        p["final_ln"] = init_layer_norm(d)
+    if w != d:
+        k1, k2 = jax.random.split(keys[2])
+        p["project_in"] = init_linear(k1, w, d, bias=False)
+        p["project_out"] = init_linear(k2, d, w, bias=False)
+    return p
+
+
+def init_cache(arch: OPTArch, batch: int, max_len: int, dtype) -> Cache:
+    d_head = arch.hidden_size // arch.num_attention_heads
+    return [
+        {
+            "k": jnp.zeros((batch, arch.num_attention_heads, max_len, d_head), dtype),
+            "v": jnp.zeros((batch, arch.num_attention_heads, max_len, d_head), dtype),
+        }
+        for _ in range(arch.num_hidden_layers)
+    ]
+
+
+def opt_position_ids(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """HF OPT position scheme: cumsum(mask)*mask - 1 (pads get -1 -> clamped
+    row 1 of the offset table, exactly as HF indexes offset+pos)."""
+    m = attention_mask.astype(jnp.int32)
+    return jnp.cumsum(m, axis=1) * m - 1
+
+
+def apply_opt(
+    p: Params,
+    input_ids: jnp.ndarray,           # (b, n)
+    *,
+    arch: OPTArch,
+    policy: Policy,
+    attention_mask: Optional[jnp.ndarray] = None,  # (b, n_kv) 1=real
+    position_ids: Optional[jnp.ndarray] = None,    # (b, n) pre-offset
+    layer_hook: Optional[LayerHook] = None,
+    cache: Optional[Cache] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Cache]]:
+    """Returns (hidden (b, n, word_embed_proj_dim), updated cache)."""
+    b, n = input_ids.shape
+    if cache is not None:
+        n_kv = cache[0]["k"].shape[2]
+    else:
+        n_kv = n
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, n_kv), jnp.int32)
+    if position_ids is None:
+        pos_full = opt_position_ids(attention_mask)  # (b, n_kv) or (b, n)
+        if cache is not None:
+            position_ids = lax.dynamic_slice_in_dim(pos_full, cache_index, n, axis=1)
+        else:
+            position_ids = pos_full
+
+    x = p["embed_tokens"].astype(policy.dtype)[input_ids]
+    if "project_in" in p:
+        x = linear(x, p["project_in"], policy)
+    x = x + p["embed_positions"].astype(policy.dtype)[position_ids + POS_OFFSET]
+
+    # additive causal + padding bias, HF-style
+    neg = jnp.finfo(jnp.float32).min
+    if cache is not None:
+        q_pos = cache_index + jnp.arange(n, dtype=jnp.int32)
+        kv_pos = jnp.arange(n_kv, dtype=jnp.int32)
+        causal = (kv_pos[None, :] <= q_pos[:, None])[None, None]
+    else:
+        causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+    pad_ok = attention_mask[:, None, None, :].astype(bool)
+    bias = jnp.where(causal & pad_ok, 0.0, neg).astype(policy.dtype)
+
+    n_head = arch.num_attention_heads
+    d_head = arch.hidden_size // n_head
+    scale = d_head ** -0.5
+    eps = arch.layer_norm_epsilon
+    new_cache: Optional[Cache] = [] if cache is not None else None
+
+    for i, bp in enumerate(p["layers"]):
+        if layer_hook is not None:
+            x = layer_hook(i, x)
+
+        residual = x
+        h = layer_norm(x, bp["attn_ln"], eps) if arch.do_layer_norm_before else x
+        q = split_heads(linear(h, bp["q_proj"], policy), n_head)
+        k = split_heads(linear(h, bp["k_proj"], policy), n_head)
+        v = split_heads(linear(h, bp["v_proj"], policy), n_head)
+        layer_kv = None
+        if cache is not None:
+            k = lax.dynamic_update_slice(cache[i]["k"], k, (0, 0, cache_index, 0))
+            v = lax.dynamic_update_slice(cache[i]["v"], v, (0, 0, cache_index, 0))
+            layer_kv = {"k": k, "v": v}
+        out = attend(q, k, v, scale=scale, bias=bias, precision=policy.precision)
+        x = residual + linear(merge_heads(out), bp["out_proj"], policy)
+        if not arch.do_layer_norm_before:
+            x = layer_norm(x, bp["attn_ln"], eps)
+
+        residual = x
+        h = layer_norm(x, bp["final_ln"], eps) if arch.do_layer_norm_before else x
+        h = get_activation(arch.activation)(linear(h, bp["fc1"], policy))
+        x = residual + linear(h, bp["fc2"], policy)
+        if not arch.do_layer_norm_before:
+            x = layer_norm(x, bp["final_ln"], eps)
+
+        if new_cache is not None:
+            new_cache.append(layer_kv)
+
+    if "final_ln" in p:
+        x = layer_norm(x, p["final_ln"], eps)
+    if "project_out" in p:
+        x = linear(x, p["project_out"], policy)
+    return x, new_cache
+
+
+def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy) -> jnp.ndarray:
+    """Tied lm_head: logits = hidden @ embed_tokens^T."""
+    return dot(hidden, jnp.swapaxes(p["embed_tokens"].astype(hidden.dtype), 0, 1), policy)
