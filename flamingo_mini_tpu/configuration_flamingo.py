@@ -172,6 +172,12 @@ class FlamingoConfig:
     extra: Dict[str, Any] = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
+    # Hashability: configs are passed as jit static arguments, so they must
+    # hash/compare by value. dataclass __eq__ handles equality; hash over the
+    # serialized public state.
+    def __hash__(self):
+        return hash((json.dumps(self.to_dict(), sort_keys=True), self.compute_dtype))
+
     @property
     def lm_arch(self):
         return resolve_lm_arch(self.lm, self.lm_arch_overrides)

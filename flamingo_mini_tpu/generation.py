@@ -1,0 +1,218 @@
+"""jit-compiled batched text generation with KV caching.
+
+Replaces the reference's use of HF ``generate()`` (the external Python decode
+loop; /root/reference/flamingo_mini/modeling_flamingo.py:464-605) with a
+fully-compiled, static-shape decode:
+
+* prefill: one forward over the (padded) prompt fills the preallocated LM KV
+  cache and produces the first next-token logits. The xattn K/V are computed
+  once here and stay constant for all steps (two-part cache, reference
+  modeling_flamingo.py:282-285).
+* decode: a ``lax.while_loop`` steps one token at a time, with early exit
+  when every row has emitted EOS (the reference's ``early_stopping=True``).
+* ``text_time`` for generated tokens is the total media count of the prompt —
+  exactly what the reference's cached-path slicing computes
+  (gated_cross_attention.py:97-104: cumsum over the unchanged prompt
+  media_locations, sliced to the last column).
+
+Batching convention: prompts must be UNPADDED-equal-length or LEFT-padded
+(pads at the start, attention_mask 0 there). Left padding is the correct
+decoder-only convention and keeps every row's write index identical — which
+is what makes the loop a static-shape TPU program.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .configuration_flamingo import FlamingoConfig, GPT2Arch
+from .models import flamingo, gpt2, opt
+from .ops.layers import Policy
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    """Static decode hyperparameters (hashable -> usable as jit static arg)."""
+
+    max_length: int = 150
+    eos_token_id: int = 50256
+    pad_token_id: int = 50256
+    do_sample: bool = False
+    top_k: int = 0            # 0 = disabled
+    top_p: float = 1.0        # 1.0 = disabled
+    temperature: float = 1.0
+    num_beams: int = 1
+    length_penalty: float = 1.0
+    early_stopping: bool = True
+
+
+def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype):
+    arch = config.lm_arch
+    if isinstance(arch, GPT2Arch):
+        return gpt2.init_cache(arch, batch, max_len, dtype)
+    return opt.init_cache(arch, batch, max_len, dtype)
+
+
+def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
+             input_ids, media_locations, attention_mask, visual_features):
+    """Run the prompt through the model, filling the LM cache.
+
+    Returns (next_logits, lm_cache, xattn_kv, state dict of per-row values).
+    """
+    b, L = input_ids.shape
+    max_len = dc.max_length
+
+    # full-length buffers
+    mask_buf = jnp.zeros((b, max_len), jnp.int32)
+    mask_buf = lax.dynamic_update_slice(mask_buf, attention_mask.astype(jnp.int32), (0, 0))
+    tokens = jnp.full((b, max_len), dc.pad_token_id, jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32), (0, 0))
+
+    text_time = jnp.cumsum(media_locations.astype(jnp.int32), axis=-1)
+    xattn_kv = flamingo.compute_xattn_kv(params, config,
+                                         policy.cast(visual_features), policy=policy)
+    hook = flamingo.make_layer_hook(params, config, xattn_kv, text_time, policy=policy)
+
+    cache = _init_lm_cache(config, b, max_len, policy.dtype)
+    # position ids from the attention mask (pads don't advance positions),
+    # matching HF generate's prepare for decoder-only models
+    pos = jnp.clip(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
+    logits, cache = flamingo.apply_lm(
+        params, config, input_ids, policy=policy, layer_hook=hook,
+        attention_mask=mask_buf, position_ids=pos,
+        cache=cache, cache_index=jnp.asarray(0, jnp.int32))
+
+    next_logits = logits[:, -1]  # left-padded: last slot is the newest token
+    state = {
+        "tokens": tokens,
+        "mask": mask_buf,
+        "cache": cache,
+        "media_count": text_time[:, -1:],                      # (b, 1)
+        "pos_next": attention_mask.astype(jnp.int32).sum(-1, keepdims=True),  # (b, 1)
+    }
+    return next_logits, xattn_kv, state
+
+
+def _select_token(logits, dc: DecodeConfig, key):
+    """Greedy or top-k/top-p/temperature sampling over (b, V) logits."""
+    logits = logits.astype(jnp.float32)
+    if not dc.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if dc.temperature != 1.0:
+        logits = logits / dc.temperature
+    neg = jnp.finfo(jnp.float32).min
+    if dc.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -dc.top_k][:, None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if dc.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep smallest set with cumulative prob >= top_p (HF keeps the first
+        # token whose inclusion crosses top_p)
+        cutoff_mask = cum - probs > dc.top_p
+        cutoff = jnp.where(cutoff_mask, neg, sorted_logits).min(axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, neg, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("config", "dc", "policy"))
+def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
+                   policy: Policy, input_ids, media_locations, attention_mask,
+                   visual_features, rng):
+    b, L = input_ids.shape
+    next_logits, xattn_kv, st = _prefill(
+        params, config, dc, policy, input_ids, media_locations,
+        attention_mask, visual_features)
+
+    hook_decode_time = st["media_count"]  # constant text_time for generated tokens
+    decode_hook = flamingo.make_layer_hook(
+        params, config, xattn_kv, hook_decode_time, policy=policy)
+
+    first_tok = _select_token(next_logits, dc, jax.random.fold_in(rng, L))
+    finished0 = first_tok == dc.eos_token_id
+
+    def write(st, tok, idx, finished):
+        tokens = st["tokens"].at[:, idx].set(jnp.where(
+            finished, jnp.asarray(dc.pad_token_id, jnp.int32), tok))
+        mask = st["mask"].at[:, idx].set(1)
+        return {**st, "tokens": tokens, "mask": mask}
+
+    # the first generated token is always written as-is (HF appends the EOS
+    # itself); finished rows emit pad from the NEXT step on
+    st = write(st, first_tok, L, jnp.zeros((b,), bool))
+
+    def cond(carry):
+        st, cur, finished, _tok, _ = carry
+        return (cur < dc.max_length - 1) & ~jnp.all(finished)
+
+    def body(carry):
+        st, cur, finished, tok, rng = carry
+        logits, cache = flamingo.apply_lm(
+            params, config, tok[:, None], policy=policy,
+            layer_hook=decode_hook, attention_mask=st["mask"],
+            position_ids=st["pos_next"],
+            cache=st["cache"], cache_index=cur)
+        st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
+        nxt = _select_token(logits[:, -1], dc, jax.random.fold_in(rng, cur))
+        new_finished = finished | (nxt == dc.eos_token_id)
+        st = write(st, nxt, cur + 1, finished)
+        return st, cur + 1, new_finished, nxt, rng
+
+    st, cur, finished, _, _ = lax.while_loop(
+        cond, body, (st, jnp.asarray(L, jnp.int32), finished0, first_tok, rng))
+    return st["tokens"], cur + 1
+
+
+def generate(
+    params: Params,
+    config: FlamingoConfig,
+    input_ids: jnp.ndarray,
+    *,
+    policy: Policy,
+    dc: DecodeConfig,
+    media_locations: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    pixel_values: Optional[jnp.ndarray] = None,
+    visual_features: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Generate token ids (b, max_length); prompt included, pads after EOS.
+
+    ``pixel_values``/``visual_features`` semantics mirror the reference
+    forward (modeling_flamingo.py:241-257). Beam search dispatches to
+    ``beam_search.beam_generate``.
+    """
+    b, L = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, L), jnp.int32)
+    if media_locations is None:
+        media_locations = jnp.zeros((b, L), jnp.int32)
+    if visual_features is None:
+        if pixel_values is not None:
+            visual_features = flamingo.encode_resample_visuals(
+                params, config, pixel_values, policy=policy)
+        else:
+            visual_features = jnp.zeros(
+                (b, 1, config.resampler_num_latents, config.dim_visual),
+                policy.dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if dc.num_beams > 1:
+        from .beam_search import beam_generate
+        return beam_generate(params, config, dc, policy, input_ids,
+                             media_locations, attention_mask, visual_features)
+
+    tokens, _n = _generate_impl(params, config, dc, policy, input_ids,
+                                media_locations, attention_mask,
+                                visual_features, rng)
+    return tokens
