@@ -1,0 +1,200 @@
+"""jit-compiled beam search, semantics-matched to HF transformers' vectorized
+``GenerationMixin._beam_search`` (the algorithm the reference drives through
+HF ``generate(num_beams>1)``; /root/reference/flamingo_mini/modeling_flamingo.py:464-548).
+
+Algorithm (per step, filling sequence position ``cur``):
+* accumulate ``log_softmax`` into running beam scores; flatten (k*V) and take
+  the top ``2k`` candidates;
+* a candidate "hits stopping criteria" if its token is EOS or the sequence
+  reaches ``max_length``; such candidates are excluded from the running
+  refill, and those ranked < k enter the finished pool with score
+  ``sum_logprobs / gen_len**length_penalty`` (EOS kept IN the sequence);
+* the finished pool keeps the best k of (pool ∪ new finishers) by a merged
+  top-k; pool updates are blocked once a row's pool is all-finished
+  (early_stopping=True) or the one-way improvement heuristic trips;
+* halt when no row can improve, every pool is full (early stopping), or all
+  continuations hit stopping criteria (max_length).
+
+TPU design: beams fold into the batch axis for model calls; the per-step beam
+reorder is a ``take_along_axis`` gather over the leading cache axis (XLA
+lowers to an on-chip permute — the reference pays a host-side per-tensor
+``index_select``, modeling_flamingo.py:536-547). Prefill runs ONCE per batch
+row — the reference replicates the prompt per beam and pays ``k``x the
+prefill + vision compute (modeling_flamingo.py:485-510).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .configuration_flamingo import FlamingoConfig
+from .models import flamingo
+from .ops.layers import Policy
+
+NEG = jnp.float32(-1.0e9)
+
+
+def _tile_beams(x, k: int):
+    """(b, ...) -> (b*k, ...) repeating each row."""
+    return jnp.repeat(x, k, axis=0)
+
+
+def _gather_beams(x, parent, b: int, k: int):
+    """Reorder the (b*k, ...) leading axis by per-row parent indices (b, k)."""
+    xr = x.reshape((b, k) + x.shape[1:])
+    out = jnp.take_along_axis(
+        xr, parent.reshape((b, k) + (1,) * (x.ndim - 1)), axis=1)
+    return out.reshape((b * k,) + x.shape[1:])
+
+
+@partial(jax.jit, static_argnames=("config", "dc", "policy"))
+def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
+               input_ids, media_locations, attention_mask, visual_features):
+    from .generation import _prefill  # shared prompt/prefill machinery
+
+    b, L = input_ids.shape
+    k = dc.num_beams
+    k2 = 2 * k
+    max_len = dc.max_length
+    lm = params["lm"]
+    vocab = (lm["wte"] if "wte" in lm else lm["embed_tokens"]).shape[0]
+    lp_pow = dc.length_penalty
+    early = bool(dc.early_stopping)
+
+    next_logits, xattn_kv, st = _prefill(
+        params, config, dc, policy, input_ids, media_locations,
+        attention_mask, visual_features)
+
+    cache = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), st["cache"])
+    xattn_kv = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), xattn_kv)
+    tokens = _tile_beams(st["tokens"], k)            # (b*k, max_len) running
+    mask_buf = _tile_beams(st["mask"], k)
+    pos_next = _tile_beams(st["pos_next"], k)
+    media_count = _tile_beams(st["media_count"], k)
+    decode_hook = flamingo.make_layer_hook(
+        params, config, xattn_kv, media_count, policy=policy)
+
+    run_scores = jnp.full((b, k), NEG).at[:, 0].set(0.0)
+    fin_seq = jnp.full((b, k, max_len), dc.pad_token_id, jnp.int32)
+    fin_scores = jnp.full((b, k), NEG)
+    fin_flags = jnp.zeros((b, k), bool)
+    heur_unsat = jnp.ones((b,), bool)
+    top_mask = jnp.arange(k2) < k                    # rank < k
+
+    def step_update(state, logp_bkV, cur):
+        """Fill position ``cur`` from per-beam log-probs (b, k, V)."""
+        (tokens, mask_buf, cache, run_scores,
+         fin_seq, fin_scores, fin_flags, heur_unsat) = state
+
+        flat = (run_scores[:, :, None] + logp_bkV).reshape(b, k * vocab)
+        top_lp, top_idx = lax.top_k(flat, k2)                  # (b, 2k) desc
+        parent = (top_idx // vocab).astype(jnp.int32)
+        tok = (top_idx % vocab).astype(jnp.int32)
+
+        hits = (tok == dc.eos_token_id) | (cur + 1 >= max_len)  # (b, 2k)
+
+        # candidate sequences: parent rows with the new token at cur
+        rows = tokens.reshape(b, k, max_len)
+        cand_seq = jnp.take_along_axis(rows, parent[:, :, None], axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (b, k2, max_len), 2)
+        cand_seq = jnp.where(iota == cur, tok[:, :, None], cand_seq)
+
+        # running refill: best k candidates that did NOT finish
+        run_lp = top_lp + hits.astype(jnp.float32) * NEG
+        new_run_scores, run_idx = lax.top_k(run_lp, k)
+        run_parent = jnp.take_along_axis(parent, run_idx, axis=1)
+        run_tok = jnp.take_along_axis(tok, run_idx, axis=1)
+
+        tokens = _gather_beams(tokens, run_parent, b, k)
+        cache_new = jax.tree_util.tree_map(
+            lambda x: _gather_beams(x, run_parent, b, k), cache)
+        tokens = tokens.reshape(b, k, max_len).at[:, :, cur].set(run_tok)\
+                       .reshape(b * k, max_len)
+        mask_buf = mask_buf.at[:, cur].set(1)
+
+        # finished pool update (HF _update_finished_beams)
+        just_finished = hits & top_mask[None, :]
+        gen_len = (cur + 1 - L).astype(jnp.float32)
+        pen_lp = top_lp / (gen_len ** lp_pow)
+        pool_full = jnp.all(fin_flags, axis=-1, keepdims=True) & early
+        pen_lp = pen_lp + pool_full.astype(jnp.float32) * NEG
+        pen_lp = pen_lp + (~heur_unsat[:, None]).astype(jnp.float32) * NEG
+        pen_lp = pen_lp + (~just_finished).astype(jnp.float32) * NEG
+
+        merged_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)      # (b, 3k, max)
+        merged_sc = jnp.concatenate([fin_scores, pen_lp], axis=1)
+        merged_fl = jnp.concatenate([fin_flags, just_finished], axis=1)
+        best_sc, best_idx = lax.top_k(merged_sc, k)
+        fin_seq = jnp.take_along_axis(merged_seq, best_idx[:, :, None], axis=1)
+        fin_scores = best_sc
+        fin_flags = jnp.take_along_axis(merged_fl, best_idx, axis=1)
+
+        # one-way early-stop heuristic (HF _check_early_stop_heuristic);
+        # denominator uses the post-increment generated length
+        best_possible = new_run_scores[:, :1] / (gen_len ** lp_pow)
+        worst_fin = jnp.where(fin_flags,
+                              jnp.min(fin_scores, axis=1, keepdims=True), NEG)
+        heur_unsat = heur_unsat & jnp.any(best_possible > worst_fin, axis=-1)
+
+        state = (tokens, mask_buf, cache_new, new_run_scores,
+                 fin_seq, fin_scores, fin_flags, heur_unsat)
+        return state, hits
+
+    # ---- fill position L from the (shared) prefill logits ------------------
+    logp0 = jax.nn.log_softmax(next_logits.astype(jnp.float32), axis=-1)
+    logp0 = jnp.broadcast_to(logp0[:, None, :], (b, k, vocab))
+    state = (tokens, mask_buf, cache, run_scores,
+             fin_seq, fin_scores, fin_flags, heur_unsat)
+    state, hits = step_update(state, logp0, jnp.asarray(L, jnp.int32))
+
+    def cond(carry):
+        state, hits, cur = carry
+        (_t, _m, _c, _rs, _fs, _fsc, fin_flags, heur_unsat) = state
+        improvement_possible = jnp.any(heur_unsat)
+        exists_open = ~(jnp.all(fin_flags) & early)
+        valid_cont = ~jnp.all(hits)
+        return improvement_possible & exists_open & valid_cont
+
+    def body(carry):
+        state, _hits, cur = carry
+        tokens, mask_buf, cache, run_scores = state[0], state[1], state[2], state[3]
+        prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
+        logits, cache = flamingo.apply_lm(
+            params, config, prev_tok, policy=policy,
+            layer_hook=decode_hook, attention_mask=mask_buf,
+            position_ids=pos_next + (cur - 1 - L),
+            cache=cache, cache_index=cur - 1)
+        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        state = (tokens, mask_buf, cache) + state[3:]
+        state, hits = step_update(state, logp.reshape(b, k, vocab), cur)
+        return state, hits, cur + 1
+
+    carry = (state, hits, jnp.asarray(L + 1, jnp.int32))
+    state, hits, cur = lax.while_loop(cond, body, carry)
+    (_tokens, _mask, _cache, run_scores,
+     fin_seq, fin_scores, fin_flags, _heur) = state
+
+    # best finished sequence per row (pool is sorted desc; slot 0 = best).
+    # Rows that never finished anything keep -1e9 scores but slot 0 still
+    # holds the best candidate absorbed at the max_length step.
+    return fin_seq[:, 0], fin_scores[:, 0]
+
+
+def beam_generate(params, config, dc, policy, input_ids, media_locations,
+                  attention_mask, visual_features):
+    """Beam-search decode. Returns (b, max_length) token ids: prompt + best
+    hypothesis (EOS kept in-sequence) + pads — HF decoded layout."""
+    out, _scores = _beam_impl(params, config, dc, policy, input_ids,
+                              media_locations, attention_mask, visual_features)
+    return out
+
+
+def beam_generate_with_scores(params, config, dc, policy, input_ids,
+                              media_locations, attention_mask, visual_features):
+    """Like beam_generate but also returns the length-penalized sequence
+    scores (HF's ``sequences_scores``)."""
+    return _beam_impl(params, config, dc, policy, input_ids, media_locations,
+                      attention_mask, visual_features)
