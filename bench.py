@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Headline benchmark: captions/sec/chip, flamingo-mini config, batch 32.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (both systems do identical work):
+  batch 32 prompts (single <image> + 4-token prompt), CLIP ViT-L/14 encode +
+  PerceiverResampler + GPT-2-medium gated-xattn decode of DECODE_TOKENS new
+  tokens with KV caching, greedy, no early exit (EOS unreachable).
+
+Ours runs on the default JAX device (the TPU chip) in bf16. The PyTorch
+reference baseline (torch-CPU in this environment — the reference has no TPU
+path) is measured once on a reduced batch/steps and extrapolated linearly in
+batch and steps; the measurement is cached in bench_baseline.json.
+
+Env knobs: FLAMINGO_BENCH_SMOKE=1 (tiny model, quick sanity run),
+FLAMINGO_BENCH_SKIP_BASELINE=1 (vs_baseline from cache or null).
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SMOKE = os.environ.get("FLAMINGO_BENCH_SMOKE") == "1"
+BATCH = 4 if SMOKE else 32
+DECODE_TOKENS = 16 if SMOKE else 128
+PROMPT_LEN = 4
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+
+def flagship_config():
+    from flamingo_mini_tpu import FlamingoConfig
+    if SMOKE:
+        return FlamingoConfig(
+            lm="gpt2", clip_model_type="openai/clip-vit-base-patch32",
+            dim=64, dim_visual=64, xattn_every=1, xattn_dim_head=16,
+            xattn_heads=4, resampler_depth=2, resampler_dim_head=16,
+            resampler_heads=4, resampler_num_latents=8,
+            compute_dtype="bfloat16",
+            lm_arch_overrides=dict(vocab_size=256, n_positions=512, n_embd=64,
+                                   n_layer=4, n_head=4),
+            vision_arch_overrides=dict(hidden_size=64, intermediate_size=128,
+                                       num_hidden_layers=2,
+                                       num_attention_heads=4,
+                                       image_size=64, patch_size=16))
+    return FlamingoConfig(
+        lm="gpt2-medium", clip_model_type="openai/clip-vit-large-patch14",
+        dim=1024, dim_visual=1024, compute_dtype="bfloat16")
+
+
+def bench_ours() -> float:
+    """Returns captions/sec on one chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flamingo_mini_tpu.generation import DecodeConfig, generate
+    from flamingo_mini_tpu.models import flamingo as F
+    from flamingo_mini_tpu.ops.layers import FAST, FAST_PALLAS
+
+    if os.environ.get("FLAMINGO_BENCH_PALLAS") == "1":
+        FAST = FAST_PALLAS  # noqa: F811 — route prefill/vision attention via Pallas
+
+    config = flagship_config()
+    params = F.init_flamingo(jax.random.PRNGKey(0), config)
+    arch = config.vision_arch
+
+    rs = np.random.RandomState(0)
+    input_ids = jnp.asarray(rs.randint(0, 200 if SMOKE else 1000, (BATCH, PROMPT_LEN)), jnp.int32)
+    media = jnp.zeros((BATCH, PROMPT_LEN), jnp.int32).at[:, 0].set(1)
+    mask = jnp.ones((BATCH, PROMPT_LEN), jnp.int32)
+    pixels = jnp.asarray(
+        rs.randn(BATCH, 1, 3, arch.image_size, arch.image_size), jnp.bfloat16)
+
+    vocab = int(params["lm"]["wte"].shape[0])
+    dc = DecodeConfig(max_length=PROMPT_LEN + DECODE_TOKENS,
+                      eos_token_id=vocab + 1, pad_token_id=0)
+
+    def run():
+        out = generate(params, config, input_ids, policy=FAST, dc=dc,
+                       media_locations=media, attention_mask=mask,
+                       pixel_values=pixels)
+        jax.block_until_ready(out)
+        return out
+
+    run()  # compile
+    times = []
+    for _ in range(2 if SMOKE else 3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return BATCH / best
+
+
+def bench_reference_baseline() -> dict:
+    """Measure the PyTorch reference (torch-CPU), reduced + extrapolated."""
+    import sys
+    import types
+
+    import numpy as np
+    import torch
+
+    # einops_exts shim (reference dependency not installed)
+    if "einops_exts" not in sys.modules:
+        import einops
+        m = types.ModuleType("einops_exts")
+        m.rearrange_many = lambda xs, *a, **k: [einops.rearrange(x, *a, **k) for x in xs]
+        m.repeat_many = lambda xs, *a, **k: [einops.repeat(x, *a, **k) for x in xs]
+        sys.modules["einops_exts"] = m
+    sys.path.insert(0, "/root/reference")
+
+    from transformers import (CLIPVisionConfig, CLIPVisionModel, GPT2Config,
+                              GPT2LMHeadModel)
+    import flamingo_mini as ref
+
+    if SMOKE:
+        clip_cfg = CLIPVisionConfig(hidden_size=64, intermediate_size=128,
+                                    num_hidden_layers=2, num_attention_heads=4,
+                                    image_size=64, patch_size=16)
+        gpt2_cfg = GPT2Config(vocab_size=256, n_positions=512, n_embd=64,
+                              n_layer=4, n_head=4)
+        dim, dim_visual = 64, 64
+        ref_kwargs = dict(xattn_every=1, xattn_dim_head=16, xattn_heads=4,
+                          resampler_depth=2, resampler_dim_head=16,
+                          resampler_heads=4, resampler_num_latents=8)
+    else:
+        clip_cfg = CLIPVisionConfig(hidden_size=1024, intermediate_size=4096,
+                                    num_hidden_layers=24, num_attention_heads=16,
+                                    image_size=224, patch_size=14)
+        gpt2_cfg = GPT2Config(n_embd=1024, n_layer=24, n_head=16)
+        dim, dim_visual = 1024, 1024
+        ref_kwargs = {}
+
+    CLIPVisionModel.from_pretrained = classmethod(
+        lambda cls, name, **kw: CLIPVisionModel(clip_cfg))
+    GPT2LMHeadModel.from_pretrained = classmethod(
+        lambda cls, name, **kw: GPT2LMHeadModel(gpt2_cfg))
+
+    cfg = ref.FlamingoConfig(lm="gpt2" if SMOKE else "gpt2-medium",
+                             clip_model_type="openai/clip-vit-large-patch14",
+                             dim=dim, dim_visual=dim_visual, **ref_kwargs)
+    model = ref.FlamingoModel(cfg)
+    model.eval()
+
+    # transformers>=4.3x block-signature adapter (same shim as the test suite)
+    for layer in model.flamingo.get_modified_layers():
+        def make_fwd(mb):
+            def fwd(hidden_states, past_key_values=None, cache_position=None,
+                    attention_mask=None, head_mask=None,
+                    encoder_hidden_states=None, use_cache=False, **kw):
+                hidden_states, kv = mb.xattn_block(
+                    y=hidden_states, visual_features=mb.visual_features,
+                    media_locations=mb.media_locations,
+                    previous_kv=mb.xattn_layer_past, output_kv=use_cache)
+                mb.kv_output = kv
+                return mb.lm_block(hidden_states, past_key_values,
+                                   cache_position, attention_mask, head_mask,
+                                   encoder_hidden_states, use_cache=use_cache,
+                                   **kw)
+            return fwd
+        layer.forward = make_fwd(layer)
+
+    ref_batch = 2 if SMOKE else 4
+    ref_steps = 4 if SMOKE else 12
+    rs = np.random.RandomState(0)
+    input_ids = torch.tensor(rs.randint(0, 200 if SMOKE else 1000, (ref_batch, PROMPT_LEN)))
+    media = torch.zeros(ref_batch, PROMPT_LEN, dtype=torch.long)
+    media[:, 0] = 1
+    attn = torch.ones(ref_batch, PROMPT_LEN, dtype=torch.long)
+    pixels = torch.tensor(rs.randn(ref_batch, 1, 3, clip_cfg.image_size,
+                                   clip_cfg.image_size).astype(np.float32))
+
+    def run_once():
+        with torch.no_grad():
+            t0 = time.perf_counter()
+            out = model.flamingo(input_ids=input_ids, media_locations=media,
+                                 attention_mask=attn, pixel_values=pixels,
+                                 use_cache=True)
+            t_prefill = time.perf_counter() - t0
+            past = out.past_key_values
+            tok = out.logits[:, -1].argmax(-1)
+            m = attn
+            t0 = time.perf_counter()
+            for _ in range(ref_steps):
+                m = torch.cat([m, torch.ones(ref_batch, 1, dtype=m.dtype)], 1)
+                out = model.flamingo(input_ids=tok[:, None],
+                                     media_locations=media, attention_mask=m,
+                                     past_key_values=past, use_cache=True)
+                past = out.past_key_values
+                tok = out.logits[:, -1].argmax(-1)
+            t_decode = time.perf_counter() - t0
+        return t_prefill, t_decode / ref_steps
+
+    run_once()  # warmup
+    t_prefill, t_per_step = run_once()
+    # extrapolate: per-caption = prefill + DECODE_TOKENS * per-step, batch-linear
+    t_caption_batch = t_prefill + DECODE_TOKENS * t_per_step
+    cps = ref_batch / t_caption_batch
+    return {
+        "captions_per_sec": cps,
+        "measured_batch": ref_batch,
+        "measured_steps": ref_steps,
+        "t_prefill_s": t_prefill,
+        "t_per_step_s": t_per_step,
+        "hardware": "cpu (torch reference; no TPU path exists)",
+        "extrapolation": f"prefill + {DECODE_TOKENS}*per_step, batch-linear",
+    }
+
+
+def main():
+    ours = bench_ours()
+
+    baseline = None
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cached = json.load(f)
+        if cached.get("smoke") == SMOKE:
+            baseline = cached
+    if baseline is None and os.environ.get("FLAMINGO_BENCH_SKIP_BASELINE") != "1":
+        baseline = bench_reference_baseline()
+        baseline["smoke"] = SMOKE
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(baseline, f, indent=2)
+
+    vs = ours / baseline["captions_per_sec"] if baseline else None
+    print(json.dumps({
+        "metric": "captions/sec/chip flamingo-mini bs=32 greedy 128-token decode",
+        "value": round(ours, 3),
+        "unit": "captions/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,6 +168,8 @@ class FlamingoConfig:
     vision_arch_overrides: Optional[Dict[str, Any]] = None
     # Compute dtype policy: 'bfloat16' (production) or 'float32' (parity).
     compute_dtype: str = "float32"
+    # Route big attention ops through the Pallas fused kernel (bf16 only).
+    use_pallas: bool = False
     # Extra HF config.json fields we tolerate but ignore.
     extra: Dict[str, Any] = field(default_factory=dict, repr=False)
 

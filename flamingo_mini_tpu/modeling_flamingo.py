@@ -1,0 +1,306 @@
+"""FlamingoModel: the public, stateful model API.
+
+API-parity wrapper over the functional core (models/flamingo.py,
+generation.py, scoring.py), mirroring the reference ``FlamingoModel``
+(/root/reference/flamingo_mini/modeling_flamingo.py:359-712): construction
+from a ``FlamingoConfig``, ``from_pretrained``/``save_pretrained``,
+``forward``-like ``__call__``, ``generate``, ``generate_captions``,
+``score_sequences``, freeze semantics (``parameters_trainable``,
+``state_dict_trainable``).
+
+Weight sources for ``from_pretrained``:
+* native ``flamingo_tpu.npz`` (flattened pytree; written by save_pretrained);
+* an HF PyTorch checkpoint (``pytorch_model.bin`` / ``model.safetensors``)
+  converted through utils/hf_weights.convert_flamingo — so reference
+  checkpoints load directly. As in the reference, such checkpoints exclude
+  the vision tower (modeling_flamingo.py:376); pass ``vision_params`` or a
+  local CLIP checkpoint path to supply it.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configuration_flamingo import FlamingoConfig, GPT2Arch
+from .flamingo_processor import FlamingoProcessor
+from .generation import DecodeConfig, generate as _generate
+from .models import flamingo as F
+from .ops.layers import Policy, policy_for
+from .scoring import score_sequences as _score_sequences
+from .utils import params as param_utils
+from .utils.hf_weights import convert_flamingo, convert_clip_vit, state_dict_to_numpy
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat dict (npz persistence)
+# ---------------------------------------------------------------------------
+
+
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    """Flatten to {dotted.path: array}. List indices are marked ``#i`` so
+    digit-keyed dicts (the xattn layer map) survive the round-trip."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}."))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}#{i}."))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]):
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.startswith("#") for k in keys):
+            return [listify(node[f"#{i}"]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+# ---------------------------------------------------------------------------
+
+
+class FlamingoModel:
+    """Stateful convenience wrapper: holds (config, params, policy)."""
+
+    def __init__(self, config: FlamingoConfig, params: Optional[Params] = None,
+                 *, rng: Optional[jax.Array] = None, with_vision: bool = True):
+        if not self.is_lm_supported(config.lm):
+            raise ValueError(f"unsupported language model {config.lm!r}")
+        self.config = config
+        self.policy: Policy = policy_for(config.compute_dtype,
+                                         getattr(config, "use_pallas", False))
+        if params is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            params = F.init_flamingo(rng, config, with_vision=with_vision)
+        self.params = params
+
+    # -- registry --------------------------------------------------------
+    _LANGUAGE_MODEL_PREFIXES = ("gpt2", "facebook/opt")
+
+    @classmethod
+    def is_lm_supported(cls, lm_id: str) -> bool:
+        return any(lm_id.startswith(p) for p in cls._LANGUAGE_MODEL_PREFIXES)
+
+    # -- persistence -----------------------------------------------------
+    def save_pretrained(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        self.config.save_pretrained(path)
+        np.savez(os.path.join(path, "flamingo_tpu.npz"),
+                 **flatten_tree(self.params))
+
+    @classmethod
+    def from_pretrained(cls, path: str, *, config: Optional[FlamingoConfig] = None,
+                        vision_params: Optional[Params] = None,
+                        clip_checkpoint: Optional[str] = None,
+                        rng: Optional[jax.Array] = None) -> "FlamingoModel":
+        """Load from a directory containing config.json + weights (native npz
+        or an HF torch checkpoint)."""
+        if config is None:
+            config = FlamingoConfig.from_pretrained(path)
+
+        npz = os.path.join(path, "flamingo_tpu.npz")
+        params: Optional[Params] = None
+        if os.path.isfile(npz):
+            with np.load(npz) as data:
+                params = unflatten_tree({k: data[k] for k in data.files})
+        else:
+            sd = _load_torch_state_dict(path)
+            if sd is not None:
+                params = convert_flamingo(
+                    sd, xattn_every=config.xattn_every,
+                    n_lm_layers=F.n_lm_layers(config))
+
+        if params is None:
+            raise FileNotFoundError(
+                f"no weights found under {path!r} (flamingo_tpu.npz, "
+                "pytorch_model.bin or model.safetensors)")
+
+        # vision tower: HF-format checkpoints exclude it (reference
+        # modeling_flamingo.py:376) — re-init or load from a CLIP checkpoint
+        if "vision" not in params:
+            if vision_params is not None:
+                params["vision"] = vision_params
+            elif clip_checkpoint is not None:
+                csd = _load_torch_state_dict(clip_checkpoint)
+                params["vision"] = convert_clip_vit(csd)
+            else:
+                key = rng if rng is not None else jax.random.PRNGKey(0)
+                from .models.clip_vit import init_clip_vit
+                params["vision"] = init_clip_vit(key, config.vision_arch)
+
+        return cls(config, params)
+
+    # -- freeze machinery (reference modeling_flamingo.py:100-138) -------
+    def trainable_mask(self) -> Params:
+        lm_embed_key = "wte" if isinstance(self.config.lm_arch, GPT2Arch) else "embed_tokens"
+        return param_utils.trainable_mask(
+            self.params, freeze_lm=self.config.freeze_language_model,
+            lm_embed_key=lm_embed_key)
+
+    def parameters_trainable(self):
+        mask = self.trainable_mask()
+        trainable, _ = param_utils.partition_params(self.params, mask)
+        return trainable
+
+    def state_dict_trainable(self) -> Dict[str, jnp.ndarray]:
+        return param_utils.state_dict_trainable(self.params, self.trainable_mask())
+
+    def num_parameters(self, only_trainable: bool = False) -> int:
+        if only_trainable:
+            t = self.parameters_trainable()
+            return sum(int(x.size) for x in jax.tree_util.tree_leaves(t) if x is not None)
+        return param_utils.tree_size(self.params)
+
+    # -- forward ---------------------------------------------------------
+    def __call__(self, input_ids, **kw) -> F.FlamingoOutput:
+        return self.forward(input_ids, **kw)
+
+    def forward(
+        self,
+        input_ids,
+        *,
+        media_locations=None,
+        attention_mask=None,
+        pixel_values=None,
+        visual_features=None,
+        labels=None,
+        loss_reduction: str = "mean",
+    ) -> F.FlamingoOutput:
+        return F.forward(
+            self.params, self.config, jnp.asarray(input_ids),
+            policy=self.policy,
+            media_locations=_maybe(media_locations),
+            attention_mask=_maybe(attention_mask),
+            pixel_values=_maybe(pixel_values),
+            visual_features=_maybe(visual_features),
+            labels=_maybe(labels), loss_reduction=loss_reduction)
+
+    def encode_resample_visuals(self, pixel_values) -> jnp.ndarray:
+        return F.encode_resample_visuals(
+            self.params, self.config, jnp.asarray(pixel_values),
+            policy=self.policy)
+
+    # -- generation ------------------------------------------------------
+    def generate(
+        self,
+        input_ids,
+        *,
+        media_locations=None,
+        attention_mask=None,
+        pixel_values=None,
+        visual_features=None,
+        max_length: int = 150,
+        num_beams: int = 1,
+        do_sample: bool = False,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        temperature: float = 1.0,
+        length_penalty: float = 1.0,
+        early_stopping: bool = True,
+        eos_token_id: Optional[int] = None,
+        pad_token_id: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        arch = self.config.lm_arch
+        eos = arch.eos_token_id if eos_token_id is None else eos_token_id
+        pad = eos if pad_token_id is None else pad_token_id
+        dc = DecodeConfig(
+            max_length=max_length, eos_token_id=eos, pad_token_id=pad,
+            do_sample=do_sample, top_k=top_k, top_p=top_p,
+            temperature=temperature, num_beams=num_beams,
+            length_penalty=length_penalty, early_stopping=early_stopping)
+        return _generate(
+            self.params, self.config, jnp.asarray(input_ids),
+            policy=self.policy, dc=dc,
+            media_locations=_maybe(media_locations),
+            attention_mask=_maybe(attention_mask),
+            pixel_values=_maybe(pixel_values),
+            visual_features=_maybe(visual_features), rng=rng)
+
+    def generate_captions(
+        self,
+        processor: FlamingoProcessor,
+        pixel_values=None,
+        images=None,
+        prompt: str = "<image>",
+        max_length: int = 150,
+        num_beams: int = 1,
+        **kw,
+    ) -> List[str]:
+        """Caption a batch of images (reference modeling_flamingo.py:550-605):
+        prompt replicated per image, cached decode, tags stripped."""
+        if images is not None:
+            assert pixel_values is None, \
+                "pass either images or pixel_values, not both"
+            pixel_values = processor.preprocess_images(images)
+        assert pixel_values is not None, "need images or pixel_values"
+        if pixel_values.ndim == 4:
+            pixel_values = pixel_values[:, None]  # (b, N=1, c, h, w)
+
+        batch = pixel_values.shape[0]
+        ids, media, mask = processor.encode_text(prompt)
+        ids = jnp.tile(ids[:1], (batch, 1))
+        media = jnp.tile(media[:1], (batch, 1))
+        mask = jnp.tile(mask[:1], (batch, 1))
+
+        out = self.generate(
+            ids, media_locations=media, attention_mask=mask,
+            pixel_values=pixel_values, max_length=max_length,
+            num_beams=num_beams, **kw)
+        texts = processor.tokenizer.batch_decode(
+            np.asarray(out), skip_special_tokens=True)
+        return processor.remove_tags(texts)
+
+    # -- scoring ---------------------------------------------------------
+    def score_sequences(self, input_ids, media_locations, attention_mask,
+                        pixel_values=None, visual_features=None,
+                        k: int = 100000) -> jnp.ndarray:
+        return _score_sequences(
+            self.params, self.config, input_ids, media_locations,
+            attention_mask, policy=self.policy, pixel_values=_maybe(pixel_values),
+            visual_features=_maybe(visual_features), k=k)
+
+
+def _maybe(x):
+    return None if x is None else jnp.asarray(x)
+
+
+def _load_torch_state_dict(path: str) -> Optional[Dict[str, np.ndarray]]:
+    """Load an HF checkpoint's flat state dict as numpy (torch imported
+    lazily; safetensors preferred when present)."""
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            f = os.path.join(path, name)
+            if os.path.isfile(f):
+                path = f
+                break
+        else:
+            return None
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return load_file(path)
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return state_dict_to_numpy(sd)

@@ -90,10 +90,15 @@ def apply_clip_vit(
     for bp in p["layers"]:
         residual = x
         h = layer_norm(x, bp["ln_1"], eps)
-        q = split_heads(linear(h, bp["q_proj"], policy) * jnp.asarray(scale, h.dtype), n_head)
+        q = split_heads(linear(h, bp["q_proj"], policy), n_head)
         k = split_heads(linear(h, bp["k_proj"], policy), n_head)
         v = split_heads(linear(h, bp["v_proj"], policy), n_head)
-        out = attend(q, k, v, precision=policy.precision)
+        if policy.pallas:
+            from ..ops.pallas_attn import fused_attention
+            out = fused_attention(q, k, v, scale=scale)
+        else:
+            out = attend(q * jnp.asarray(scale, h.dtype), k, v,
+                         precision=policy.precision)
         x = residual + linear(merge_heads(out), bp["out_proj"], policy)
 
         residual = x

@@ -105,13 +105,21 @@ def _self_attention(
         v = lax.dynamic_update_slice(layer_cache["v"], v, (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
-    out = attend(
-        q, k, v,
-        scale=1.0 / (d_head ** 0.5),  # HF divides post-matmul
-        mask=causal_mask,
-        bias=pad_bias,
-        precision=policy.precision,
-    )
+    if layer_cache is None and policy.pallas:
+        # full-sequence path -> Pallas fused attention (causal in-kernel,
+        # padding as a per-batch row bias)
+        from ..ops.pallas_attn import fused_attention
+        row = None if pad_bias is None else pad_bias[:, 0, 0, :]
+        out = fused_attention(q, k, v, scale=1.0 / (d_head ** 0.5),
+                              causal=True, row_bias=row)
+    else:
+        out = attend(
+            q, k, v,
+            scale=1.0 / (d_head ** 0.5),  # HF divides post-matmul
+            mask=causal_mask,
+            bias=pad_bias,
+            precision=policy.precision,
+        )
     return linear(merge_heads(out), bp["c_proj"], policy), new_cache
 
 

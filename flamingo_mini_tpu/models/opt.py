@@ -145,7 +145,15 @@ def apply_opt(
             k = lax.dynamic_update_slice(cache[i]["k"], k, (0, 0, cache_index, 0))
             v = lax.dynamic_update_slice(cache[i]["v"], v, (0, 0, cache_index, 0))
             layer_kv = {"k": k, "v": v}
-        out = attend(q, k, v, scale=scale, bias=bias, precision=policy.precision)
+        if cache is None and policy.pallas:
+            from ..ops.pallas_attn import fused_attention
+            row = jnp.where(attention_mask.astype(bool), 0.0, neg
+                            ).astype(policy.dtype)
+            out = fused_attention(q, k, v, scale=scale, causal=True,
+                                  row_bias=row)
+        else:
+            out = attend(q, k, v, scale=scale, bias=bias,
+                         precision=policy.precision)
         x = residual + linear(merge_heads(out), bp["out_proj"], policy)
         if not arch.do_layer_norm_before:
             x = layer_norm(x, bp["attn_ln"], eps)

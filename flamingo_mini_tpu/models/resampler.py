@@ -62,8 +62,12 @@ def apply_perceiver_attention(
     k = split_heads(linear(kv_in, p["to_k"], policy), heads)
     v = split_heads(linear(kv_in, p["to_v"], policy), heads)
 
-    q = q * jnp.asarray(dim_head ** -0.5, q.dtype)
-    out = attend(q, k, v, stabilize=True, precision=policy.precision)
+    if policy.pallas:
+        from ..ops.pallas_attn import fused_attention
+        out = fused_attention(q, k, v, scale=dim_head ** -0.5)
+    else:
+        q = q * jnp.asarray(dim_head ** -0.5, q.dtype)
+        out = attend(q, k, v, stabilize=True, precision=policy.precision)
     return linear(merge_heads(out), p["to_out"], policy)
 
 

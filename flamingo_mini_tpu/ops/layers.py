@@ -27,10 +27,17 @@ Params = Dict[str, Any]
 
 @dataclass(frozen=True)
 class Policy:
-    """Compute policy threaded through all apply functions."""
+    """Compute policy threaded through all apply functions.
+
+    ``pallas``: route big attention ops (ViT encode, LM prefill/training,
+    resampler) through the Pallas fused-attention kernel instead of the XLA
+    einsum chain. Off in PARITY mode (the kernel's always-on max-subtraction
+    is softmax-invariant but not bit-identical to the reference sequence).
+    """
 
     dtype: Any = jnp.float32
     precision: Optional[lax.Precision] = None
+    pallas: bool = False
 
     def cast(self, x: jnp.ndarray) -> jnp.ndarray:
         return x.astype(self.dtype)
@@ -38,14 +45,15 @@ class Policy:
 
 PARITY = Policy(dtype=jnp.float32, precision=lax.Precision.HIGHEST)
 FAST = Policy(dtype=jnp.bfloat16, precision=None)
+FAST_PALLAS = Policy(dtype=jnp.bfloat16, precision=None, pallas=True)
 
 
-def policy_for(compute_dtype: str) -> Policy:
+def policy_for(compute_dtype: str, use_pallas: bool = False) -> Policy:
     """Map a FlamingoConfig.compute_dtype string to a Policy."""
     if compute_dtype in ("float32", "fp32"):
         return PARITY
     if compute_dtype in ("bfloat16", "bf16"):
-        return FAST
+        return FAST_PALLAS if use_pallas else FAST
     raise ValueError(f"unknown compute dtype {compute_dtype!r}")
 
 

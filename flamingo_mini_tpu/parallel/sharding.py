@@ -1,0 +1,100 @@
+"""Sharding rules over the Flamingo parameter pytree.
+
+GSPMD semantics: shardings are layout annotations, not program rewrites —
+XLA inserts the collectives (all-gather/reduce-scatter/psum over ICI) that
+make any annotated program correct, so these rules tune performance without
+touching model code.
+
+Rules implemented:
+* data parallelism: params replicated, batch split on the 'data' axis;
+  gradient psum is inserted by XLA at the jit boundary (the DDP-parity mode;
+  reference training/train.sh:26,36).
+* tensor parallelism ('model' axis): Megatron-style column/row splits —
+  attention QKV + MLP-in sharded on the output dim, attention-out + MLP-out
+  on the input dim, embeddings on the vocab dim. Biases follow their matmul.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class AxisNames:
+    data: str = "data"
+    model: str = "model"
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, axes: AxisNames = AxisNames()) -> NamedSharding:
+    """Batch-dim sharding for inputs: (data, None, ...)."""
+    return NamedSharding(mesh, P(axes.data))
+
+
+# weight-name -> PartitionSpec factory (axis names filled at call time)
+# Column-parallel = split output dim; row-parallel = split input dim.
+_COL = {"c_attn", "mlp_fc", "q_proj", "k_proj", "v_proj", "fc1",
+        "to_q", "to_k", "to_v", "to_kv"}
+_ROW = {"c_proj", "mlp_proj", "out_proj", "fc2", "to_out"}
+_VOCAB = {"wte", "embed_tokens"}
+
+
+def _spec_for(path: str, shape, model_axis: Optional[str],
+              model_size: int) -> P:
+    ndim = len(shape)
+    if model_axis is None or ndim == 0:
+        return P()
+
+    def ok(dim):  # a dim is shardable only if evenly divisible
+        return shape[dim] % model_size == 0
+
+    leaf = path.split(".")[-1]
+    parent = path.split(".")[-2] if "." in path else ""
+    name = parent if leaf in ("w", "b") else leaf
+    if name in _COL:
+        if leaf == "b":
+            return P(model_axis) if ok(0) else P()
+        return P(None, model_axis) if ndim == 2 and ok(1) else P()
+    if name in _ROW and leaf == "w":
+        return P(model_axis, None) if ndim == 2 and ok(0) else P()
+    if name in _VOCAB and ndim == 2 and ok(0):
+        # vocab+1 (<EOC>) rows usually break divisibility -> replicated then
+        return P(model_axis, None)
+    return P()
+
+
+def param_shardings(params: Dict[str, Any], mesh: Mesh,
+                    axes: AxisNames = AxisNames(),
+                    tensor_parallel: bool = False):
+    """NamedSharding pytree for the params. With ``tensor_parallel=False``
+    everything is replicated (pure DP)."""
+    model_axis = axes.model if tensor_parallel else None
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axes.model, 1)
+
+    def walk(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{prefix}{k}.") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [walk(v, f"{prefix}{i}.") for i, v in enumerate(tree)]
+        spec = _spec_for(prefix[:-1], getattr(tree, "shape", ()), model_axis,
+                         model_size)
+        return NamedSharding(mesh, spec)
+
+    return walk(params)
+
+
+def shard_params(params, shardings):
+    """Place a param pytree onto the mesh per the sharding pytree."""
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch, mesh: Mesh, axes: AxisNames = AxisNames()):
+    """Place a batch pytree with the leading dim split on the data axis."""
+    s = data_sharding(mesh, axes)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -165,16 +165,24 @@ class BPETokenizer:
         ids: List[int] = []
         if add_special_tokens and self.add_bos:
             ids.append(self.bos_token_id)
-        if self.added_tokens:
-            pattern = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+        # split out added tokens AND special tokens that live as single vocab
+        # entries (e.g. <|endoftext|>) so BPE never fragments them — a
+        # fragmented eos would leak a '<' token into the media locations
+        specials = {t: self.encoder[t]
+                    for t in {self.eos_token, self.bos_token, self.pad_token}
+                    if t in self.encoder}
+        table = {**specials, **self.added_tokens}
+        if table:
+            pattern = "(" + "|".join(
+                re.escape(t) for t in sorted(table, key=len, reverse=True)) + ")"
             parts = re.split(pattern, text)
         else:
             parts = [text]
         for part in parts:
             if not part:
                 continue
-            if part in self.added_tokens:
-                ids.append(self.added_tokens[part])
+            if part in table:
+                ids.append(table[part])
             else:
                 ids.extend(self._encode_plain(part))
         return ids

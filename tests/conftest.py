@@ -9,7 +9,13 @@ Must set env vars before jax is imported anywhere.
 import os
 
 if not os.environ.get("FLAMINGO_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # NB: in environments whose sitecustomize pre-imports jax (the axon TPU
+    # kernel image does), these assignments are too late — there, launch
+    # pytest with `JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_
+    # device_count=8` set in the shell instead. Tests that need >= 8 devices
+    # skip gracefully when only the TPU chip is visible.
+    os.environ.pop("JAX_PLATFORMS", None)
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,174 @@
+"""Public-API tests: tokenizer, processor, FlamingoModel persistence,
+generate_captions, score_sequences semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flamingo_mini_tpu import FlamingoConfig, FlamingoModel, FlamingoProcessor
+from flamingo_mini_tpu.models import flamingo as F
+from flamingo_mini_tpu.ops.layers import PARITY
+from flamingo_mini_tpu.tokenizer import build_toy_tokenizer
+
+TINY_LM = dict(vocab_size=512, n_positions=64, n_embd=32, n_layer=2, n_head=4)
+TINY_VIT = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                num_attention_heads=4, image_size=32, patch_size=8)
+
+
+def tiny_config(**kw):
+    base = dict(lm="gpt2", dim=32, dim_visual=32, xattn_every=2,
+                xattn_dim_head=8, xattn_heads=4, resampler_depth=1,
+                resampler_dim_head=8, resampler_heads=4, resampler_num_latents=4,
+                lm_arch_overrides=TINY_LM, vision_arch_overrides=TINY_VIT)
+    base.update(kw)
+    return FlamingoConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def toy_processor():
+    tok = build_toy_tokenizer(
+        ["image", "a", "cat", "dog", "picture", "of", "<", ">"], add_bos=True)
+    return FlamingoProcessor(tiny_config(), tokenizer=tok)
+
+
+class TestTokenizer:
+    def test_roundtrip(self, toy_processor):
+        tok = toy_processor.tokenizer
+        text = "a cat a dog"
+        ids = tok.encode(text)
+        assert ids[0] == tok.bos_token_id
+        assert tok.decode(ids, skip_special_tokens=True) == text
+
+    def test_leading_space_split(self, toy_processor):
+        """'<' gets different ids with/without preceding whitespace —
+        the invariant the media-location logic depends on."""
+        tok = toy_processor.tokenizer
+        a = tok.encode("<", add_special_tokens=False)[-1]
+        b = tok.encode(" <", add_special_tokens=False)[-1]
+        assert a != b
+
+    def test_added_token(self, toy_processor):
+        tok = toy_processor.tokenizer
+        eoc = toy_processor.eoc_token_id
+        ids = tok.encode("a cat<EOC>", add_special_tokens=False)
+        assert ids[-1] == eoc
+        assert "<EOC>" in tok.decode(ids)
+
+
+class TestProcessor:
+    def test_media_locations(self, toy_processor):
+        ids, media, mask = toy_processor.encode_text("<image>a cat")
+        arr = np.asarray(ids)[0]
+        media = np.asarray(media)[0]
+        # exactly one '<' -> one media location, at the '<' token
+        assert media.sum() == 1
+        leq_pos = [i for i, t in enumerate(arr) if t in toy_processor.leq_ids]
+        assert media[leq_pos[0]] == 1
+
+    def test_caption_template(self, toy_processor):
+        cap = toy_processor.prepare_caption("a cat")
+        assert cap == "<image>a cat<EOC>" + toy_processor.tokenizer.eos_token
+        assert toy_processor.remove_tags(cap) == "a cat"
+
+    def test_left_padding(self, toy_processor):
+        ids, media, mask = toy_processor.encode_text(["a cat", "a cat a dog dog"])
+        mask = np.asarray(mask)
+        assert mask.shape[0] == 2
+        # row 0 is shorter -> left pads (mask zeros at the start)
+        assert mask[0, 0] == 0 and mask[0, -1] == 1
+        assert mask[1].all()
+
+    def test_preprocess_images(self, toy_processor):
+        img = np.random.RandomState(0).randint(0, 255, (48, 64, 3), np.uint8)
+        px = toy_processor.preprocess_images([img, img])
+        assert px.shape == (2, 3, 32, 32)
+        assert np.isfinite(np.asarray(px)).all()
+
+
+class TestModelAPI:
+    def test_save_load_roundtrip(self, tmp_path):
+        cfg = tiny_config()
+        m = FlamingoModel(cfg, rng=jax.random.PRNGKey(1))
+        ids = np.arange(5)[None] + 10
+        out1 = m.forward(ids).logits
+        m.save_pretrained(str(tmp_path / "ckpt"))
+
+        m2 = FlamingoModel.from_pretrained(str(tmp_path / "ckpt"))
+        out2 = m2.forward(ids).logits
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_generate_captions(self, toy_processor):
+        cfg = tiny_config()
+        m = FlamingoModel(cfg, rng=jax.random.PRNGKey(2))
+        imgs = [np.random.RandomState(i).randint(0, 255, (40, 40, 3), np.uint8)
+                for i in range(2)]
+        caps = m.generate_captions(toy_processor, images=imgs, max_length=12)
+        assert len(caps) == 2
+        assert all(isinstance(c, str) for c in caps)
+        # tags must be stripped
+        assert all("<image>" not in c and "<EOC>" not in c for c in caps)
+
+    def test_trainable_partition(self):
+        cfg = tiny_config()
+        m = FlamingoModel(cfg, rng=jax.random.PRNGKey(3))
+        n_total = m.num_parameters()
+        n_train = m.num_parameters(only_trainable=True)
+        assert 0 < n_train < n_total
+        sd = m.state_dict_trainable()
+        # frozen LM blocks must not appear; wte (embedding) must
+        assert any("wte" in k for k in sd)
+        assert not any("c_attn" in k for k in sd)
+        assert any("xattn" in k for k in sd)
+        assert not any("vision" in k for k in sd)
+
+
+class TestScoring:
+    def test_score_sequences_matches_uncached(self):
+        """scores == -sum CE over the choice window computed from full
+        uncached forwards (ground truth by definition)."""
+        cfg = tiny_config()
+        m = FlamingoModel(cfg, rng=jax.random.PRNGKey(4))
+        rs = np.random.RandomState(0)
+        prefix = rs.randint(0, 100, (6,))
+        n_choices, L = 4, 10
+        input_ids = np.tile(prefix, (n_choices, 1))
+        suffix = rs.randint(0, 100, (n_choices, L - 6))
+        input_ids = np.concatenate([input_ids, suffix], axis=1)
+        media = np.zeros((n_choices, L), np.int32)
+        media[:, 0] = 1
+        mask = np.ones((n_choices, L), np.int32)
+        vf = jnp.asarray(rs.randn(1, 4, 32).astype(np.float32))
+
+        scores = np.asarray(m.score_sequences(
+            input_ids, media, mask, visual_features=vf))
+
+        # ground truth: full uncached forward per row
+        out = F.forward(m.params, cfg, jnp.asarray(input_ids), policy=PARITY,
+                        media_locations=jnp.asarray(media),
+                        attention_mask=jnp.asarray(mask),
+                        visual_features=jnp.tile(vf[None], (n_choices, 1, 1, 1)))
+        logp = jax.nn.log_softmax(np.asarray(out.logits, np.float32), axis=-1)
+        n_reuse = 6
+        want = []
+        for i in range(n_choices):
+            s = 0.0
+            for t in range(n_reuse, L):
+                s += logp[i, t - 1, input_ids[i, t]]
+            want.append(s)
+        np.testing.assert_allclose(scores, np.asarray(want), atol=2e-4, rtol=1e-4)
+
+    def test_score_sequences_topk_filter(self):
+        cfg = tiny_config()
+        m = FlamingoModel(cfg, rng=jax.random.PRNGKey(4))
+        rs = np.random.RandomState(1)
+        input_ids = np.tile(rs.randint(0, 100, (1, 5)), (4, 1))
+        input_ids = np.concatenate([input_ids, rs.randint(0, 100, (4, 3))], axis=1)
+        media = np.zeros_like(input_ids)
+        mask = np.ones_like(input_ids)
+        vf = jnp.asarray(rs.randn(1, 4, 32).astype(np.float32))
+        scores = np.asarray(m.score_sequences(input_ids, media, mask,
+                                              visual_features=vf, k=2))
+        neg = np.finfo(np.float32).min
+        assert (scores == neg).sum() == 2
+        assert (scores > neg).sum() == 2

@@ -1,0 +1,105 @@
+"""Pallas fused-attention kernel: numerics vs the XLA path + gradient flow.
+
+Runs in interpreter mode on CPU (the kernel auto-selects interpret off-TPU);
+the same code compiles to Mosaic on real TPU (exercised by bench.py with
+use_pallas and by FLAMINGO_TEST_TPU=1 runs).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flamingo_mini_tpu.ops.attention import attend
+from flamingo_mini_tpu.ops.pallas_attn import fused_attention
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_matches_xla(causal):
+    b, h, n, d = 2, 3, 40, 16
+    q, k, v = _rand((b, h, n, d), 0), _rand((b, h, n, d), 1), _rand((b, h, n, d), 2)
+    scale = d ** -0.5
+
+    got = fused_attention(q, k, v, scale=scale, causal=causal, block_q=16)
+    mask = None
+    if causal:
+        mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
+    want = attend(q * scale, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_row_bias_padding():
+    """Padding via row_bias == additive mask in the XLA path."""
+    b, h, n, d = 2, 2, 24, 8
+    q, k, v = _rand((b, h, n, d), 3), _rand((b, h, n, d), 4), _rand((b, h, n, d), 5)
+    pad = np.ones((b, n), np.int32)
+    pad[0, 20:] = 0
+    neg = np.finfo(np.float32).min
+    row = jnp.asarray(np.where(pad, 0.0, neg).astype(np.float32))
+
+    got = fused_attention(q, k, v, scale=0.3, causal=True, row_bias=row,
+                          block_q=8)
+    mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
+    bias = row[:, None, None, :]
+    want = attend(q * 0.3, k, v, mask=mask, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gradients_match_xla():
+    b, h, n, d = 1, 2, 16, 8
+    q, k, v = _rand((b, h, n, d), 6), _rand((b, h, n, d), 7), _rand((b, h, n, d), 8)
+    scale = d ** -0.5
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale=scale, causal=True,
+                                       block_q=8) ** 2)
+
+    def loss_xla(q, k, v):
+        mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
+        return jnp.sum(attend(q * scale, k, v, mask=mask) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_full_model_pallas_policy_close_to_xla():
+    """FAST_PALLAS forward ~== FAST forward on a tiny Flamingo."""
+    from flamingo_mini_tpu.configuration_flamingo import FlamingoConfig
+    from flamingo_mini_tpu.models.flamingo import forward, init_flamingo
+    from flamingo_mini_tpu.ops.layers import FAST, FAST_PALLAS
+
+    config = FlamingoConfig(
+        lm="gpt2", dim=32, dim_visual=32, xattn_every=2, xattn_dim_head=8,
+        xattn_heads=4, resampler_depth=1, resampler_dim_head=8,
+        resampler_heads=4, resampler_num_latents=4,
+        lm_arch_overrides=dict(vocab_size=128, n_positions=64, n_embd=32,
+                               n_layer=2, n_head=4),
+        vision_arch_overrides=dict(hidden_size=32, intermediate_size=64,
+                                   num_hidden_layers=1, num_attention_heads=4,
+                                   image_size=32, patch_size=8))
+    params = init_flamingo(jax.random.PRNGKey(0), config)
+    for blk in params["xattn"].values():
+        blk["alpha_attn"] = jnp.ones((1,)) * 0.5
+
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(0, 100, (2, 10)))
+    ml = jnp.zeros((2, 10), jnp.int32).at[:, 0].set(1)
+    px = jnp.asarray(rs.randn(2, 1, 3, 32, 32).astype(np.float32))
+
+    out_fast = forward(params, config, ids, policy=FAST,
+                       media_locations=ml, pixel_values=px)
+    out_pallas = forward(params, config, ids, policy=FAST_PALLAS,
+                         media_locations=ml, pixel_values=px)
+    # bf16 path: agreement to bf16 rounding
+    np.testing.assert_allclose(
+        np.asarray(out_fast.logits, np.float32),
+        np.asarray(out_pallas.logits, np.float32), atol=0.15, rtol=0.1)

@@ -1,0 +1,162 @@
+"""Trainer, data pipeline, checkpoint/resume, and multi-device tests."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flamingo_mini_tpu import FlamingoConfig, FlamingoModel, FlamingoProcessor
+from flamingo_mini_tpu.tokenizer import build_toy_tokenizer
+from flamingo_mini_tpu.train.data import DataCollator, SyntheticCaptionDataset, batches
+from flamingo_mini_tpu.train.eval import cider_d, corpus_bleu
+from flamingo_mini_tpu.train.trainer import FlamingoTrainer, TrainingArguments
+
+TINY_LM = dict(vocab_size=512, n_positions=64, n_embd=32, n_layer=2, n_head=4)
+TINY_VIT = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+                num_attention_heads=4, image_size=32, patch_size=8)
+
+
+def tiny_config():
+    return FlamingoConfig(
+        lm="gpt2", dim=32, dim_visual=32, xattn_every=1, xattn_dim_head=8,
+        xattn_heads=4, resampler_depth=1, resampler_dim_head=8,
+        resampler_heads=4, resampler_num_latents=4,
+        lm_arch_overrides=TINY_LM, vision_arch_overrides=TINY_VIT)
+
+
+@pytest.fixture(scope="module")
+def processor():
+    tok = build_toy_tokenizer(
+        ["image", "a", "cat", "dog", "picture", "of", "red", "blue", "small",
+         "big", "bird", "<", ">"])
+    return FlamingoProcessor(tiny_config(), tokenizer=tok)
+
+
+def test_collator_shapes_and_template(processor):
+    ds = SyntheticCaptionDataset(size=8, image_hw=32)
+    col = DataCollator(processor, length=24)
+    batch = col([ds[i] for i in range(8)])
+    assert batch["input_ids"].shape == (8, 24)
+    assert batch["pixel_values"].shape == (8, 1, 3, 32, 32)
+    assert (batch["labels"] == batch["input_ids"]).all()
+    # every row has exactly one media location (single <image> tag)
+    assert (batch["media_locations"].sum(1) == 1).all()
+
+
+def test_train_loss_decreases(processor):
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    ds = SyntheticCaptionDataset(size=16, image_hw=32)
+    col = DataCollator(processor, length=16)
+    args = TrainingArguments(
+        output_dir="/tmp/flamingo_test_run", learning_rate=5e-3,
+        warmup_steps=1, per_device_batch_size=8, max_steps=8,
+        log_every_steps=100, eval_every_steps=None, save_every_steps=None)
+    trainer = FlamingoTrainer(model, args, train_dataset=ds, collator=col)
+    batch = col([ds[i] for i in range(8)])
+    losses = [trainer.train_step_on(batch) for _ in range(8)]
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_frozen_params_do_not_move(processor):
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    frozen_before = np.asarray(model.params["lm"]["blocks"][0]["c_attn"]["w"])
+    emb_before = np.asarray(model.params["lm"]["wte"])
+    ds = SyntheticCaptionDataset(size=8, image_hw=32)
+    col = DataCollator(processor, length=16)
+    args = TrainingArguments(output_dir="/tmp/flamingo_test_run2",
+                             learning_rate=5e-3, warmup_steps=1,
+                             eval_every_steps=None, save_every_steps=None)
+    trainer = FlamingoTrainer(model, args, train_dataset=ds, collator=col)
+    batch = col([ds[i] for i in range(8)])
+    trainer.train_step_on(batch)
+    params = trainer.params
+    np.testing.assert_array_equal(
+        np.asarray(params["lm"]["blocks"][0]["c_attn"]["w"]), frozen_before)
+    # the embedding matrix is trainable (holds the <EOC> row)
+    assert not np.array_equal(np.asarray(params["lm"]["wte"]), emb_before)
+
+
+def test_checkpoint_save_resume(tmp_path, processor):
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    ds = SyntheticCaptionDataset(size=8, image_hw=32)
+    col = DataCollator(processor, length=16)
+    args = TrainingArguments(output_dir=str(tmp_path), learning_rate=1e-3,
+                             warmup_steps=1, eval_every_steps=None,
+                             save_every_steps=None)
+    trainer = FlamingoTrainer(model, args, train_dataset=ds, collator=col)
+    batch = col([ds[i] for i in range(8)])
+    trainer.train_step_on(batch)
+    trainer.save_checkpoint()
+    ckpt = os.path.join(str(tmp_path), f"checkpoint-{trainer.step}")
+
+    model2 = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    trainer2 = FlamingoTrainer(model2, args, train_dataset=ds, collator=col)
+    trainer2.load_checkpoint(ckpt)
+    assert trainer2.step == trainer.step
+    a = jax.tree_util.tree_leaves(trainer.trainable)
+    b = jax.tree_util.tree_leaves(trainer2.trainable)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_multi_device_dp_matches_single(processor):
+    """Same batch, 8-device DP mesh vs single device: identical loss."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_config()
+    ds = SyntheticCaptionDataset(size=8, image_hw=32)
+    col = DataCollator(processor, length=16)
+    batch = col([ds[i] for i in range(8)])
+
+    losses = {}
+    for name, mesh_shape in (("single", (1, 1)), ("dp8", (8, 1))):
+        model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+        args = TrainingArguments(output_dir=f"/tmp/fl_dp_{name}",
+                                 learning_rate=1e-3, warmup_steps=1,
+                                 mesh_shape=mesh_shape, eval_every_steps=None,
+                                 save_every_steps=None)
+        if name == "single":
+            args.mesh_shape = None
+            # restrict to one device via trivial mesh
+        trainer = FlamingoTrainer(model, args, train_dataset=ds, collator=col)
+        losses[name] = [trainer.train_step_on(batch) for _ in range(2)]
+    np.testing.assert_allclose(losses["single"], losses["dp8"], rtol=2e-5)
+
+
+def test_multi_device_tp_matches_single(processor):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_config()
+    ds = SyntheticCaptionDataset(size=8, image_hw=32)
+    col = DataCollator(processor, length=16)
+    batch = col([ds[i] for i in range(8)])
+    losses = {}
+    for name, shape, tp in (("single", None, False), ("dp4tp2", (4, 2), True)):
+        model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+        args = TrainingArguments(output_dir=f"/tmp/fl_tp_{name}",
+                                 learning_rate=1e-3, warmup_steps=1,
+                                 mesh_shape=shape, tensor_parallel=tp,
+                                 eval_every_steps=None, save_every_steps=None)
+        trainer = FlamingoTrainer(model, args, train_dataset=ds, collator=col)
+        losses[name] = [trainer.train_step_on(batch) for _ in range(2)]
+    np.testing.assert_allclose(losses["single"], losses["dp4tp2"], rtol=2e-4)
+
+
+def test_eval_metrics_selfcontained():
+    cands = ["a cat on a mat", "a dog"]
+    refs = [["a cat sits on a mat", "the cat on the mat"],
+            ["a big dog", "a dog running"]]
+    bleu = corpus_bleu(cands, refs)
+    assert 0 < bleu["Bleu_1"] <= 1
+    assert bleu["Bleu_1"] >= bleu["Bleu_4"]
+    c = cider_d(cands, refs)
+    assert c > 0
+    # perfect match scores higher
+    c_perfect = cider_d([refs[0][0], refs[1][0]], refs)
+    assert c_perfect > c
