@@ -83,6 +83,9 @@ class BPETokenizer:
         self.add_prefix_space = add_prefix_space
         self.added_tokens: Dict[str, int] = {}
         self.added_ids: Dict[int, str] = {}
+        self._id_cache: Dict[str, List[int]] = {}
+        self._native = None          # lazily-built native/bpe.cpp engine
+        self._native_tried = False
 
     # -- vocab -----------------------------------------------------------
     @property
@@ -150,12 +153,44 @@ class BPETokenizer:
         self.cache[token] = out
         return out
 
+    def _get_native(self):
+        """Build the C++ BPE engine on first use (exact-equivalence gated:
+        disabled unless every merge triple resolves to vocab ids)."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        try:
+            from .native import NativeBPE
+            triples = []
+            for (a, b), _rank in sorted(self.bpe_ranks.items(),
+                                        key=lambda kv: kv[1]):
+                ia, ib = self.encoder.get(a), self.encoder.get(b)
+                im = self.encoder.get(a + b)
+                if ia is None or ib is None or im is None:
+                    return None  # rank table incomplete -> stay on Python
+                triples.append((ia, ib, im))
+            if any(c not in self.encoder for c in self.byte_encoder.values()):
+                return None      # single-byte chars must all be interned
+            self._native = NativeBPE(triples)
+        except Exception:
+            self._native = None
+        return self._native
+
     def _encode_plain(self, text: str) -> List[int]:
         ids: List[int] = []
+        native = self._get_native()
         for token in _PAT.findall(text):
             token_b = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            for piece in self._bpe(token_b).split(" "):
-                ids.append(self.encoder.get(piece, self.encoder.get(self.unk_token, 0)))
+            cached = self._id_cache.get(token_b)
+            if cached is None:
+                if native is not None:
+                    cached = native.encode_word(
+                        [self.encoder[c] for c in token_b])
+                else:
+                    cached = [self.encoder.get(p, self.encoder.get(self.unk_token, 0))
+                              for p in self._bpe(token_b).split(" ")]
+                self._id_cache[token_b] = cached
+            ids.extend(cached)
         return ids
 
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
