@@ -65,6 +65,9 @@ def bench_ours() -> float:
 
     config = flagship_config()
     params = F.init_flamingo(jax.random.PRNGKey(0), config)
+    if os.environ.get("FLAMINGO_BENCH_INT8") == "1":
+        from flamingo_mini_tpu.ops.quant import quantize_gpt2_lm
+        params["lm"] = quantize_gpt2_lm(params["lm"])
     arch = config.vision_arch
 
     rs = np.random.RandomState(0)
@@ -74,7 +77,8 @@ def bench_ours() -> float:
     pixels = jnp.asarray(
         rs.randn(BATCH, 1, 3, arch.image_size, arch.image_size), jnp.bfloat16)
 
-    vocab = int(params["lm"]["wte"].shape[0])
+    lm = params["lm"]
+    vocab = int((lm["wte"] if "wte" in lm else lm["wte_q"]["w8"]).shape[0])
     dc = DecodeConfig(max_length=PROMPT_LEN + DECODE_TOKENS,
                       eos_token_id=vocab + 1, pad_token_id=0)
 

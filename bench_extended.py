@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Extended benchmark: the five driver configs from BASELINE.json.
+
+  1. flamingo-tiny  (GPT-2 small + ViT-B/32)  greedy captioning
+  2. flamingo-mini  (GPT-2 medium + ViT-L/14) beam-search captioning, bs=32
+  3. OPT-1.3B backbone, xattn_every=2, top-k sampling
+  4. few-shot: 4 interleaved (image, text) shots in one sequence
+  5. video: 8-frame clips through resampler_num_time_embeds=8
+
+All on random weights (zero-egress: no hub checkpoints), bf16, real device.
+Writes BENCH_EXTENDED.json and prints one line per config.
+
+Env: FLAMINGO_BENCH_CONFIGS=1,2,... to restrict; FLAMINGO_BENCH_INT8=1 for
+weight-only int8 on the LM trunk.
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+
+def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
+               frames=1, num_beams=1, do_sample=False, top_k=0, media_count=1,
+               repeats=3):
+    import jax
+    import jax.numpy as jnp
+    from flamingo_mini_tpu.generation import DecodeConfig, generate
+    from flamingo_mini_tpu.models import flamingo as F
+    from flamingo_mini_tpu.ops.layers import FAST
+
+    params = F.init_flamingo(jax.random.PRNGKey(0), config)
+    if os.environ.get("FLAMINGO_BENCH_INT8") == "1":
+        from flamingo_mini_tpu.ops.quant import quantize_gpt2_lm, quantize_opt_lm
+        lm = params["lm"]
+        params["lm"] = quantize_gpt2_lm(lm) if "wte" in lm else quantize_opt_lm(lm)
+
+    arch = config.vision_arch
+    rs = np.random.RandomState(0)
+    input_ids = jnp.asarray(rs.randint(0, 1000, (batch, prompt_len)), jnp.int32)
+    media = jnp.zeros((batch, prompt_len), jnp.int32)
+    step = max(prompt_len // max(media_count, 1), 1)
+    for m in range(media_count):
+        media = media.at[:, m * step].set(1)
+    mask = jnp.ones((batch, prompt_len), jnp.int32)
+    if frames > 1:
+        px_shape = (batch, n_images, frames, 3, arch.image_size, arch.image_size)
+    else:
+        px_shape = (batch, n_images, 3, arch.image_size, arch.image_size)
+    pixels = jnp.asarray(rs.randn(*px_shape), jnp.bfloat16)
+
+    lm = params["lm"]
+    vocab = int((lm.get("wte") if "wte" in lm else
+                 lm.get("embed_tokens") if "embed_tokens" in lm else
+                 (lm.get("wte_q") or lm["embed_tokens_q"])["w8"]).shape[0])
+    dc = DecodeConfig(max_length=prompt_len + decode_tokens,
+                      eos_token_id=vocab + 1, pad_token_id=0,
+                      num_beams=num_beams, do_sample=do_sample, top_k=top_k)
+
+    def run():
+        out = generate(params, config, input_ids, policy=FAST, dc=dc,
+                       media_locations=media, attention_mask=mask,
+                       pixel_values=pixels,
+                       rng=jax.random.PRNGKey(1))
+        jax.block_until_ready(out)
+
+    t0 = time.time()
+    run()
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    result = {
+        "config": name,
+        "captions_per_sec": round(batch / best, 3),
+        "batch": batch,
+        "decode_tokens": decode_tokens,
+        "num_beams": num_beams,
+        "best_wall_s": round(best, 4),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main():
+    from flamingo_mini_tpu import FlamingoConfig
+
+    tiny = FlamingoConfig(       # flamingo-tiny: GPT-2 small + ViT-B/32
+        lm="gpt2", clip_model_type="openai/clip-vit-base-patch32",
+        dim=768, dim_visual=768, compute_dtype="bfloat16")
+    mini = FlamingoConfig(       # flamingo-mini: GPT-2 medium + ViT-L/14
+        lm="gpt2-medium", clip_model_type="openai/clip-vit-large-patch14",
+        dim=1024, dim_visual=1024, compute_dtype="bfloat16")
+    opt13 = FlamingoConfig(      # OPT-1.3B, xattn_every=2
+        lm="facebook/opt-1.3b", clip_model_type="openai/clip-vit-large-patch14",
+        dim=2048, dim_visual=1024, xattn_every=2, compute_dtype="bfloat16")
+    video = FlamingoConfig(      # 8-frame video resampler
+        lm="gpt2", clip_model_type="openai/clip-vit-base-patch32",
+        dim=768, dim_visual=768, resampler_num_time_embeds=8,
+        compute_dtype="bfloat16")
+
+    configs = {
+        "1": ("flamingo-tiny greedy bs=32", tiny,
+              dict(batch=32, prompt_len=4, decode_tokens=64)),
+        "2": ("flamingo-mini beam3 bs=32", mini,
+              dict(batch=32, prompt_len=4, decode_tokens=64, num_beams=3)),
+        "3": ("OPT-1.3B xattn_every=2 top-k bs=8", opt13,
+              dict(batch=8, prompt_len=8, decode_tokens=64, do_sample=True,
+                   top_k=50, repeats=2)),
+        "4": ("few-shot 4 images interleaved bs=8", mini,
+              dict(batch=8, prompt_len=64, decode_tokens=32, n_images=4,
+                   media_count=4)),
+        "5": ("video 8-frame bs=8", video,
+              dict(batch=8, prompt_len=4, decode_tokens=32, frames=8)),
+    }
+    selected = os.environ.get("FLAMINGO_BENCH_CONFIGS", "1,2,3,4,5").split(",")
+    results = []
+    for key in selected:
+        name, config, kw = configs[key.strip()]
+        try:
+            results.append(run_config(name, config, **kw))
+        except Exception as e:  # keep going; record the failure
+            results.append({"config": name, "error": f"{type(e).__name__}: {e}"})
+            print(json.dumps(results[-1]), flush=True)
+
+    with open(os.path.join(REPO, "BENCH_EXTENDED.json"), "w") as f:
+        json.dump({"results": results,
+                   "int8": os.environ.get("FLAMINGO_BENCH_INT8") == "1"},
+                  f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

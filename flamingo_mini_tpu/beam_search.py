@@ -60,7 +60,13 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     k2 = 2 * k
     max_len = dc.max_length
     lm = params["lm"]
-    vocab = (lm["wte"] if "wte" in lm else lm["embed_tokens"]).shape[0]
+    for key in ("wte", "embed_tokens"):
+        if key in lm:
+            vocab = lm[key].shape[0]
+            break
+        if key + "_q" in lm:
+            vocab = lm[key + "_q"]["w8"].shape[0]
+            break
     lp_pow = dc.length_penalty
     early = bool(dc.early_stopping)
 

@@ -173,6 +173,19 @@ class FlamingoModel:
             return sum(int(x.size) for x in jax.tree_util.tree_leaves(t) if x is not None)
         return param_utils.tree_size(self.params)
 
+    # -- quantization ----------------------------------------------------
+    def quantize_int8(self) -> "FlamingoModel":
+        """Weight-only int8 quantization of the LM trunk (decode-path
+        weights; ~2x less HBM weight traffic per decode step). In-place;
+        returns self. Not available in float32 parity mode."""
+        from .ops.quant import quantize_gpt2_lm, quantize_opt_lm
+        lm = self.params["lm"]
+        if "wte" in lm:
+            self.params["lm"] = quantize_gpt2_lm(lm)
+        elif "embed_tokens" in lm:
+            self.params["lm"] = quantize_opt_lm(lm)
+        return self
+
     # -- forward ---------------------------------------------------------
     def __call__(self, input_ids, **kw) -> F.FlamingoOutput:
         return self.forward(input_ids, **kw)

@@ -149,7 +149,12 @@ def apply_gpt2(
         base = jnp.arange(n, dtype=jnp.int32)[None, :]
         position_ids = base + (0 if cache_index is None else cache_index)
 
-    x = p["wte"].astype(policy.dtype)[input_ids] + p["wpe"].astype(policy.dtype)[position_ids]
+    if "wte_q" in p:
+        from ..ops.quant import embed_lookup
+        tok_emb = embed_lookup(p["wte_q"], input_ids, policy.dtype)
+    else:
+        tok_emb = p["wte"].astype(policy.dtype)[input_ids]
+    x = tok_emb + p["wpe"].astype(policy.dtype)[position_ids]
 
     if cache is not None:
         n_kv = cache[0]["k"].shape[2]
@@ -194,4 +199,10 @@ def apply_gpt2(
 
 def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy) -> jnp.ndarray:
     """Tied lm_head: logits = hidden @ wte^T (GPT-2 ties embeddings)."""
+    if "wte_q" in p:
+        q = p["wte_q"]
+        logits = jnp.matmul(hidden, jnp.swapaxes(q["w8"].astype(hidden.dtype), 0, 1),
+                            precision=policy.precision,
+                            preferred_element_type=jnp.float32)
+        return (logits * q["scale"]).astype(hidden.dtype)
     return dot(hidden, jnp.swapaxes(p["wte"].astype(hidden.dtype), 0, 1), policy)

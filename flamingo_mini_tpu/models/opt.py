@@ -109,7 +109,11 @@ def apply_opt(
         else:
             position_ids = pos_full
 
-    x = p["embed_tokens"].astype(policy.dtype)[input_ids]
+    if "embed_tokens_q" in p:
+        from ..ops.quant import embed_lookup
+        x = embed_lookup(p["embed_tokens_q"], input_ids, policy.dtype)
+    else:
+        x = p["embed_tokens"].astype(policy.dtype)[input_ids]
     if "project_in" in p:
         x = linear(x, p["project_in"], policy)
     x = x + p["embed_positions"].astype(policy.dtype)[position_ids + POS_OFFSET]
@@ -177,4 +181,10 @@ def apply_opt(
 
 def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy) -> jnp.ndarray:
     """Tied lm_head: logits = hidden @ embed_tokens^T."""
+    if "embed_tokens_q" in p:
+        q = p["embed_tokens_q"]
+        logits = jnp.matmul(hidden, jnp.swapaxes(q["w8"].astype(hidden.dtype), 0, 1),
+                            precision=policy.precision,
+                            preferred_element_type=jnp.float32)
+        return (logits * q["scale"]).astype(hidden.dtype)
     return dot(hidden, jnp.swapaxes(p["embed_tokens"].astype(hidden.dtype), 0, 1), policy)

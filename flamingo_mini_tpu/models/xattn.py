@@ -86,6 +86,14 @@ def apply_masked_xattn(
     q = q * jnp.asarray(dim_head ** -0.5, q.dtype)  # reference scales q pre-matmul (":78")
     q = split_heads(q, heads)
 
+    if policy.pallas and y.shape[1] > 1:
+        # prefill/training path -> fused Pallas kernel (mask + softmax +
+        # no-media zeroing fused in VMEM; q already scaled -> scale=1)
+        from ..ops.pallas_xattn import fused_media_xattn
+        out = fused_media_xattn(q, k, v, text_time, scale=1.0,
+                                n_visual=n_visual)
+        return linear(merge_heads(out), p["to_out"], policy)
+
     # (b, 1, n_token, 1) == (1, 1, 1, n_media*n_visual)
     media_time = jnp.arange(1, n_media + 1, dtype=text_time.dtype)
     media_time = jnp.repeat(media_time, n_visual)

@@ -103,8 +103,18 @@ def init_linear(key, d_in: int, d_out: int, bias: bool = True, std: float = 0.02
 
 
 def linear(x: jnp.ndarray, p: Params, policy: Policy) -> jnp.ndarray:
-    """x @ w (+ b). Weights stored ``(d_in, d_out)``."""
-    y = dot(x, p["w"], policy)
+    """x @ w (+ b). Weights stored ``(d_in, d_out)``.
+
+    Accepts int8 weight-only quantized leaves ({"w8", "scale"} from
+    ops/quant.py): y = (x @ w8) * scale with fp32 accumulation — XLA fuses
+    the int8 operand convert into the matmul, halving HBM weight traffic.
+    """
+    if "w8" in p:
+        y = jnp.matmul(x, p["w8"].astype(x.dtype), precision=policy.precision,
+                       preferred_element_type=jnp.float32)
+        y = (y * p["scale"]).astype(x.dtype)
+    else:
+        y = dot(x, p["w"], policy)
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
