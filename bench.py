@@ -68,6 +68,9 @@ def bench_ours() -> float:
     if os.environ.get("FLAMINGO_BENCH_INT8") == "1":
         from flamingo_mini_tpu.ops.quant import quantize_gpt2_lm
         params["lm"] = quantize_gpt2_lm(params["lm"])
+    # inference deployment: store weights bf16 (halves HBM weight streaming)
+    from flamingo_mini_tpu.ops.quant import cast_params_bf16
+    params = cast_params_bf16(params)
     arch = config.vision_arch
 
     rs = np.random.RandomState(0)
@@ -82,18 +85,23 @@ def bench_ours() -> float:
     dc = DecodeConfig(max_length=PROMPT_LEN + DECODE_TOKENS,
                       eos_token_id=vocab + 1, pad_token_id=0)
 
-    def run():
+    # vary the vision input on-device each run: defeats any transport-level
+    # memoization of identical (program, buffer) executions while keeping
+    # host->device upload out of the timed region
+    bump = jax.jit(lambda px, s: px + s.astype(px.dtype) * 1e-3)
+
+    def run(seed):
+        px = bump(pixels, jnp.asarray(seed, jnp.float32))
         out = generate(params, config, input_ids, policy=FAST, dc=dc,
                        media_locations=media, attention_mask=mask,
-                       pixel_values=pixels)
-        jax.block_until_ready(out)
-        return out
+                       pixel_values=px)
+        return np.asarray(out)  # host transfer = strongest execution fence
 
-    run()  # compile
+    run(0)  # compile
     times = []
-    for _ in range(2 if SMOKE else 3):
+    for i in range(2 if SMOKE else 3):
         t0 = time.perf_counter()
-        run()
+        run(i + 1)
         times.append(time.perf_counter() - t0)
     best = min(times)
     return BATCH / best

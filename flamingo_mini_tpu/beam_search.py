@@ -52,8 +52,13 @@ def _gather_beams(x, parent, b: int, k: int):
 
 @partial(jax.jit, static_argnames=("config", "dc", "policy"))
 def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
-               input_ids, media_locations, attention_mask, visual_features):
+               input_ids, media_locations, attention_mask, visual_features,
+               pixel_values=None):
     from .generation import _prefill  # shared prompt/prefill machinery
+
+    if pixel_values is not None:
+        visual_features = flamingo.encode_resample_visuals(
+            params, config, policy.cast(pixel_values), policy=policy)
 
     b, L = input_ids.shape
     k = dc.num_beams
@@ -190,17 +195,19 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
 
 
 def beam_generate(params, config, dc, policy, input_ids, media_locations,
-                  attention_mask, visual_features):
+                  attention_mask, visual_features, pixel_values=None):
     """Beam-search decode. Returns (b, max_length) token ids: prompt + best
     hypothesis (EOS kept in-sequence) + pads — HF decoded layout."""
     out, _scores = _beam_impl(params, config, dc, policy, input_ids,
-                              media_locations, attention_mask, visual_features)
+                              media_locations, attention_mask, visual_features,
+                              pixel_values)
     return out
 
 
 def beam_generate_with_scores(params, config, dc, policy, input_ids,
-                              media_locations, attention_mask, visual_features):
+                              media_locations, attention_mask, visual_features,
+                              pixel_values=None):
     """Like beam_generate but also returns the length-penalized sequence
     scores (HF's ``sequences_scores``)."""
     return _beam_impl(params, config, dc, policy, input_ids, media_locations,
-                      attention_mask, visual_features)
+                      attention_mask, visual_features, pixel_values)

@@ -44,6 +44,11 @@ class GPT2Arch:
     bos_token_id: int = 50256
     eos_token_id: int = 50256
     family: str = "gpt2"
+    # training-mode dropout rates (HF GPT2Config defaults); active only when
+    # a dropout rng is passed to the apply fns
+    embd_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
 
 
 @dataclass
@@ -63,6 +68,8 @@ class OPTArch:
     bos_token_id: int = 2
     eos_token_id: int = 2
     family: str = "opt"
+    # training-mode dropout (HF OPTConfig default); rng-gated
+    dropout: float = 0.1
 
 
 @dataclass

@@ -100,35 +100,53 @@ def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
     return next_logits, xattn_kv, state
 
 
+def apply_logit_filters(logits: jnp.ndarray, *, temperature: float = 1.0,
+                        top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
+    """Temperature / top-k / top-p filtering with exact HF warper semantics
+    (TemperatureLogitsWarper -> TopKLogitsWarper -> TopPLogitsWarper).
+
+    Top-p (HF): sort ascending, remove tokens whose ascending cumulative
+    softmax <= 1 - top_p, always keeping at least the best token.
+    """
+    logits = logits.astype(jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+    if temperature != 1.0:
+        logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        sorted_idx = jnp.argsort(logits, axis=-1)               # ascending
+        sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        remove_sorted = cum <= (1.0 - top_p)
+        remove_sorted = remove_sorted.at[:, -1].set(False)      # keep >= 1
+        inv = jnp.argsort(sorted_idx, axis=-1)
+        remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        logits = jnp.where(remove, neg, logits)
+    return logits
+
+
 def _select_token(logits, dc: DecodeConfig, key):
     """Greedy or top-k/top-p/temperature sampling over (b, V) logits."""
     logits = logits.astype(jnp.float32)
     if not dc.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-    if dc.temperature != 1.0:
-        logits = logits / dc.temperature
-    neg = jnp.finfo(jnp.float32).min
-    if dc.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -dc.top_k][:, None]
-        logits = jnp.where(logits < kth, neg, logits)
-    if dc.top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep smallest set with cumulative prob >= top_p (HF keeps the first
-        # token whose inclusion crosses top_p)
-        cutoff_mask = cum - probs > dc.top_p
-        cutoff = jnp.where(cutoff_mask, neg, sorted_logits).min(axis=-1, keepdims=True)
-        logits = jnp.where(logits < cutoff, neg, logits)
+    logits = apply_logit_filters(logits, temperature=dc.temperature,
+                                 top_k=dc.top_k, top_p=dc.top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("config", "dc", "policy"))
 def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
                    policy: Policy, input_ids, media_locations, attention_mask,
-                   visual_features, rng):
+                   visual_features, pixel_values, rng):
     b, L = input_ids.shape
+    if pixel_values is not None:
+        # vision encode + resample INSIDE the jitted program — one fused
+        # device program instead of hundreds of eager dispatches
+        visual_features = flamingo.encode_resample_visuals(
+            params, config, policy.cast(pixel_values), policy=policy)
     next_logits, xattn_kv, st = _prefill(
         params, config, dc, policy, input_ids, media_locations,
         attention_mask, visual_features)
@@ -196,23 +214,20 @@ def generate(
         attention_mask = jnp.ones((b, L), jnp.int32)
     if media_locations is None:
         media_locations = jnp.zeros((b, L), jnp.int32)
-    if visual_features is None:
-        if pixel_values is not None:
-            visual_features = flamingo.encode_resample_visuals(
-                params, config, pixel_values, policy=policy)
-        else:
-            visual_features = jnp.zeros(
-                (b, 1, config.resampler_num_latents, config.dim_visual),
-                policy.dtype)
+    if visual_features is None and pixel_values is None:
+        visual_features = jnp.zeros(
+            (b, 1, config.resampler_num_latents, config.dim_visual),
+            policy.dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     if dc.num_beams > 1:
         from .beam_search import beam_generate
         return beam_generate(params, config, dc, policy, input_ids,
-                             media_locations, attention_mask, visual_features)
+                             media_locations, attention_mask, visual_features,
+                             pixel_values=pixel_values)
 
     tokens, _n = _generate_impl(params, config, dc, policy, input_ids,
                                 media_locations, attention_mask,
-                                visual_features, rng)
+                                visual_features, pixel_values, rng)
     return tokens

@@ -173,7 +173,14 @@ class FlamingoModel:
             return sum(int(x.size) for x in jax.tree_util.tree_leaves(t) if x is not None)
         return param_utils.tree_size(self.params)
 
-    # -- quantization ----------------------------------------------------
+    # -- inference-deployment transforms ---------------------------------
+    def to_bf16(self) -> "FlamingoModel":
+        """Cast stored params to bf16 (halves decode HBM weight traffic).
+        In-place; returns self. Use for inference, not training masters."""
+        from .ops.quant import cast_params_bf16
+        self.params = cast_params_bf16(self.params)
+        return self
+
     def quantize_int8(self) -> "FlamingoModel":
         """Weight-only int8 quantization of the LM trunk (decode-path
         weights; ~2x less HBM weight traffic per decode step). In-place;

@@ -203,6 +203,7 @@ def apply_lm(
     position_ids: Optional[jnp.ndarray] = None,
     cache=None,
     cache_index=None,
+    dropout_rng=None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Run the LM trunk + tied head. Returns (logits, new_cache)."""
     lm_arch = config.lm_arch
@@ -210,13 +211,15 @@ def apply_lm(
         hidden, new_cache = gpt2.apply_gpt2(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
             position_ids=position_ids, attention_mask=attention_mask,
-            layer_hook=layer_hook, cache=cache, cache_index=cache_index)
+            layer_hook=layer_hook, cache=cache, cache_index=cache_index,
+            dropout_rng=dropout_rng)
         logits = gpt2.lm_head(params["lm"], hidden, policy)
     else:
         hidden, new_cache = opt.apply_opt(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
             position_ids=position_ids, attention_mask=attention_mask,
-            layer_hook=layer_hook, cache=cache, cache_index=cache_index)
+            layer_hook=layer_hook, cache=cache, cache_index=cache_index,
+            dropout_rng=dropout_rng)
         logits = opt.lm_head(params["lm"], hidden, policy)
     return logits, new_cache
 
@@ -233,6 +236,7 @@ def forward(
     visual_features: Optional[jnp.ndarray] = None,   # (b, N, q, d_visual)
     labels: Optional[jnp.ndarray] = None,
     loss_reduction: str = "mean",
+    dropout_rng=None,   # enables the frozen trunk's training-mode dropout
 ) -> FlamingoOutput:
     """Full (uncached) Flamingo forward pass — training / scoring path.
 
@@ -261,7 +265,7 @@ def forward(
 
     logits, _ = apply_lm(
         params, config, input_ids, policy=policy, layer_hook=hook,
-        attention_mask=attention_mask)
+        attention_mask=attention_mask, dropout_rng=dropout_rng)
 
     loss = None
     if labels is not None:

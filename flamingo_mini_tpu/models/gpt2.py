@@ -90,6 +90,8 @@ def _self_attention(
     cache_index: Optional[jnp.ndarray],
     eps: float,
     policy: Policy,
+    attn_pdrop: float = 0.0,
+    dropout_rng=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     h = layer_norm(x, bp["ln_1"], eps)
     qkv = linear(h, bp["c_attn"], policy)
@@ -105,9 +107,9 @@ def _self_attention(
         v = lax.dynamic_update_slice(layer_cache["v"], v, (0, 0, cache_index, 0))
         new_cache = {"k": k, "v": v}
 
-    if layer_cache is None and policy.pallas:
+    if layer_cache is None and policy.pallas and dropout_rng is None:
         # full-sequence path -> Pallas fused attention (causal in-kernel,
-        # padding as a per-batch row bias)
+        # padding as a per-batch row bias); dropout forces the XLA path
         from ..ops.pallas_attn import fused_attention
         row = None if pad_bias is None else pad_bias[:, 0, 0, :]
         out = fused_attention(q, k, v, scale=1.0 / (d_head ** 0.5),
@@ -119,6 +121,8 @@ def _self_attention(
             mask=causal_mask,
             bias=pad_bias,
             precision=policy.precision,
+            dropout_rate=attn_pdrop,
+            dropout_rng=dropout_rng,
         )
     return linear(merge_heads(out), bp["c_proj"], policy), new_cache
 
@@ -134,6 +138,7 @@ def apply_gpt2(
     layer_hook: Optional[LayerHook] = None,
     cache: Optional[Cache] = None,
     cache_index: Optional[jnp.ndarray] = None,     # scalar int32, write offset
+    dropout_rng=None,                              # training mode when set
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Run the trunk. Returns final hidden states (b, n, d) and the updated
     cache (None when not caching).
@@ -155,6 +160,9 @@ def apply_gpt2(
     else:
         tok_emb = p["wte"].astype(policy.dtype)[input_ids]
     x = tok_emb + p["wpe"].astype(policy.dtype)[position_ids]
+    if dropout_rng is not None:
+        from ..ops.layers import dropout as _dropout
+        x = _dropout(x, arch.embd_pdrop, jax.random.fold_in(dropout_rng, 10_000))
 
     if cache is not None:
         n_kv = cache[0]["k"].shape[2]
@@ -172,9 +180,11 @@ def apply_gpt2(
                              0.0, neg).astype(policy.dtype)
 
     new_cache: Optional[Cache] = [] if cache is not None else None
+    from ..ops.layers import dropout as _dropout
     for i, bp in enumerate(p["blocks"]):
         if layer_hook is not None:
             x = layer_hook(i, x)
+        rng_i = None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
         attn_out, layer_kv = _self_attention(
             bp, x,
             n_head=arch.n_head,
@@ -184,12 +194,20 @@ def apply_gpt2(
             cache_index=cache_index,
             eps=arch.layer_norm_epsilon,
             policy=policy,
+            attn_pdrop=arch.attn_pdrop,
+            dropout_rng=None if rng_i is None else jax.random.fold_in(rng_i, 0),
         )
+        if rng_i is not None:
+            attn_out = _dropout(attn_out, arch.resid_pdrop,
+                                jax.random.fold_in(rng_i, 1))
         x = x + attn_out
         h = layer_norm(x, bp["ln_2"], arch.layer_norm_epsilon)
         h = linear(h, bp["mlp_fc"], policy)
         h = get_activation(arch.activation)(h)
-        x = x + linear(h, bp["mlp_proj"], policy)
+        h = linear(h, bp["mlp_proj"], policy)
+        if rng_i is not None:
+            h = _dropout(h, arch.resid_pdrop, jax.random.fold_in(rng_i, 2))
+        x = x + h
         if new_cache is not None:
             new_cache.append(layer_kv)
 

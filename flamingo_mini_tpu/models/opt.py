@@ -92,6 +92,7 @@ def apply_opt(
     layer_hook: Optional[LayerHook] = None,
     cache: Optional[Cache] = None,
     cache_index: Optional[jnp.ndarray] = None,
+    dropout_rng=None,                              # training mode when set
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Returns (hidden (b, n, word_embed_proj_dim), updated cache)."""
     b, n = input_ids.shape
@@ -117,6 +118,9 @@ def apply_opt(
     if "project_in" in p:
         x = linear(x, p["project_in"], policy)
     x = x + p["embed_positions"].astype(policy.dtype)[position_ids + POS_OFFSET]
+    from ..ops.layers import dropout as _dropout
+    if dropout_rng is not None:
+        x = _dropout(x, arch.dropout, jax.random.fold_in(dropout_rng, 10_000))
 
     # additive causal + padding bias, HF-style
     neg = jnp.finfo(jnp.float32).min
@@ -149,7 +153,8 @@ def apply_opt(
             k = lax.dynamic_update_slice(cache[i]["k"], k, (0, 0, cache_index, 0))
             v = lax.dynamic_update_slice(cache[i]["v"], v, (0, 0, cache_index, 0))
             layer_kv = {"k": k, "v": v}
-        if cache is None and policy.pallas:
+        rng_i = None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
+        if cache is None and policy.pallas and rng_i is None:
             from ..ops.pallas_attn import fused_attention
             row = jnp.where(attention_mask.astype(bool), 0.0, neg
                             ).astype(policy.dtype)
@@ -158,14 +163,20 @@ def apply_opt(
         else:
             out = attend(q, k, v, scale=scale, bias=bias,
                          precision=policy.precision)
-        x = residual + linear(merge_heads(out), bp["out_proj"], policy)
+        h = linear(merge_heads(out), bp["out_proj"], policy)
+        if rng_i is not None:
+            h = _dropout(h, arch.dropout, jax.random.fold_in(rng_i, 0))
+        x = residual + h
         if not arch.do_layer_norm_before:
             x = layer_norm(x, bp["attn_ln"], eps)
 
         residual = x
         h = layer_norm(x, bp["final_ln"], eps) if arch.do_layer_norm_before else x
         h = get_activation(arch.activation)(linear(h, bp["fc1"], policy))
-        x = residual + linear(h, bp["fc2"], policy)
+        h = linear(h, bp["fc2"], policy)
+        if rng_i is not None:
+            h = _dropout(h, arch.dropout, jax.random.fold_in(rng_i, 1))
+        x = residual + h
         if not arch.do_layer_norm_before:
             x = layer_norm(x, bp["final_ln"], eps)
 

@@ -45,6 +45,8 @@ def attend(
     scale: Optional[float] = None,
     stabilize: bool = False,
     precision=None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Scaled-dot-product attention core.
 
@@ -81,6 +83,10 @@ def attend(
         sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
     # softmax in fp32 for bf16 stability
     alphas = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(dtype)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        # attention-prob dropout (HF training mode)
+        from .layers import dropout as _dropout
+        alphas = _dropout(alphas, dropout_rate, dropout_rng)
     out = jnp.matmul(alphas, v, precision=precision,
                      preferred_element_type=jnp.float32).astype(dtype)
     return out

@@ -161,6 +161,20 @@ def get_activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return _ACTS[name]
 
 
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout; identity when rng is None or rate == 0 (eval mode).
+
+    The reference trains through HF Trainer with the trunk's dropout active
+    (GPT-2 embd/resid/attn 0.1, OPT 0.1); the trainable flamingo modules
+    have no dropout in the reference and none here.
+    """
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # FeedForward (reference utils.py:31-50 semantics)
 # ---------------------------------------------------------------------------

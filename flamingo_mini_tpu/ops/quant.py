@@ -26,6 +26,27 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
+def cast_params_bf16(params):
+    """Cast float parameter leaves to bf16 for inference.
+
+    FAST-mode compute casts weights at use (``w.astype(x.dtype)`` inside the
+    matmul), but the HBM read still streams the stored fp32 bytes — casting
+    the stored params halves decode weight traffic. Keep fp32 masters for
+    training; this is an inference-deployment transform.
+    """
+    import jax
+
+    def cast(path, x):
+        if not hasattr(x, "dtype") or x.dtype != jnp.float32:
+            return x
+        # int8 dequant scales stay fp32 (bf16 scales cost real accuracy)
+        if any(getattr(k, "key", None) == "scale" for k in path):
+            return x
+        return x.astype(jnp.bfloat16)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def quantize_weight(w: jnp.ndarray, axis: int = 0) -> Params:
     """Symmetric int8 with per-channel scales (channels = the non-``axis``
     dim)."""

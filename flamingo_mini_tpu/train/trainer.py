@@ -58,6 +58,7 @@ class TrainingArguments:
     eval_every_steps: Optional[int] = 1000
     log_every_steps: int = 50
     seed: int = 42
+    enable_dropout: bool = False   # frozen-trunk dropout (HF-Trainer parity)
     tensor_parallel: bool = False
     mesh_shape: Optional[tuple] = None
     grad_clip_norm: Optional[float] = 1.0
@@ -119,19 +120,23 @@ class FlamingoTrainer:
         config, policy = self.config, self.policy
         optimizer = self.optimizer
 
-        def loss_fn(trainable, frozen, batch):
+        enable_dropout = self.args.enable_dropout
+
+        def loss_fn(trainable, frozen, batch, rng):
             params = param_utils.merge_params(trainable, frozen)
             out = F.forward(
                 params, config, batch["input_ids"], policy=policy,
                 media_locations=batch["media_locations"],
                 attention_mask=batch["attention_mask"],
                 pixel_values=batch["pixel_values"],
-                labels=batch["labels"])
+                labels=batch["labels"],
+                dropout_rng=rng if enable_dropout else None)
             return out.loss
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(trainable, opt_state, frozen, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(trainable, frozen, batch)
+        def train_step(trainable, opt_state, frozen, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                trainable, frozen, batch, rng)
             updates, opt_state = optimizer.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             return trainable, opt_state, loss
@@ -153,9 +158,10 @@ class FlamingoTrainer:
                     f"global batch size {b} must be divisible by the mesh "
                     f"'data' axis ({n_data}); adjust per_device_batch_size")
             batch = shard_batch(batch, self.mesh)
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.args.seed), self.step)
         with jax.set_mesh(self.mesh):
             self.trainable, self.opt_state, loss = self._train_step(
-                self.trainable, self.opt_state, self.frozen, batch)
+                self.trainable, self.opt_state, self.frozen, batch, rng)
         self.step += 1
         return float(loss)
 
