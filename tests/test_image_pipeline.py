@@ -1,0 +1,53 @@
+"""On-device image pipeline vs HF CLIPImageProcessor (PIL path).
+
+XLA's bicubic and PIL's differ slightly in antialias windows, so this is a
+tolerance comparison, not bitwise (documented in ops/image.py).
+"""
+import numpy as np
+import pytest
+
+from flamingo_mini_tpu.ops.image import CLIP_MEAN, CLIP_STD, preprocess_images
+
+
+def _smooth_image(h, w, seed=0):
+    """Natural-like smooth content (gradients + blobs). Random NOISE images
+    amplify the (PIL vs XLA) bicubic antialias-window differences by design;
+    real photographs behave like this smooth case."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.stack([
+        128 + 100 * np.sin(xx / 80) * np.cos(yy / 60),
+        128 + 90 * np.cos(xx / 50 + seed),
+        np.clip(255 * np.exp(-((xx - w / 2) ** 2 + (yy - h / 2) ** 2)
+                             / (h * w / 15)), 0, 255),
+    ], -1).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("hw", [(224, 224), (480, 640), (300, 224)])
+def test_matches_clip_image_processor(hw):
+    from transformers import CLIPImageProcessor
+    proc = CLIPImageProcessor(  # ViT defaults, constructed offline
+        do_resize=True, size={"shortest_edge": 224}, resample=3,  # bicubic
+        do_center_crop=True, crop_size={"height": 224, "width": 224},
+        do_rescale=True, do_normalize=True,
+        image_mean=list(CLIP_MEAN), image_std=list(CLIP_STD))
+
+    img = _smooth_image(*hw)
+    want = proc(images=[img], return_tensors="np")["pixel_values"][0]
+    got = np.asarray(preprocess_images([img]))[0]
+
+    assert got.shape == want.shape == (3, 224, 224)
+    d = np.abs(got - want)
+    if hw == (224, 224):   # no resampling -> near-exact
+        assert d.max() < 1e-4, d.max()
+    else:
+        assert d.mean() < 0.03 and (d < 0.1).mean() > 0.99, \
+            (hw, d.mean(), d.max())
+
+
+def test_grayscale_and_batch():
+    rs = np.random.RandomState(1)
+    gray = rs.randint(0, 255, (64, 64), np.uint8)
+    rgb = rs.randint(0, 255, (100, 80, 3), np.uint8)
+    out = preprocess_images([gray, rgb], size=32, crop=32)
+    assert out.shape == (2, 3, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
