@@ -53,8 +53,11 @@ def _gather_beams(x, parent, b: int, k: int):
 @partial(jax.jit, static_argnames=("config", "dc", "policy"))
 def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
                input_ids, media_locations, attention_mask, visual_features,
-               pixel_values=None):
+               pixel_values=None, rng=None):
     from .generation import _prefill  # shared prompt/prefill machinery
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     if pixel_values is not None:
         visual_features = flamingo.encode_resample_visuals(
@@ -101,7 +104,18 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
          fin_seq, fin_scores, fin_flags, heur_unsat) = state
 
         flat = (run_scores[:, :, None] + logp_bkV).reshape(b, k * vocab)
-        top_lp, top_idx = lax.top_k(flat, k2)                  # (b, 2k) desc
+        if dc.do_sample:
+            # HF beam-sample: multinomial WITHOUT replacement over the flat
+            # accumulated distribution == Gumbel-top-k; candidate scores stay
+            # the ORIGINAL accumulated log-probs (HF gathers, not the noisy
+            # values)
+            key = jax.random.fold_in(rng, cur)
+            g = -jnp.log(-jnp.log(
+                jax.random.uniform(key, flat.shape, minval=1e-20, maxval=1.0)))
+            _, top_idx = lax.top_k(flat + g, k2)
+            top_lp = jnp.take_along_axis(flat, top_idx, axis=1)
+        else:
+            top_lp, top_idx = lax.top_k(flat, k2)              # (b, 2k) desc
         parent = (top_idx // vocab).astype(jnp.int32)
         tok = (top_idx % vocab).astype(jnp.int32)
 
@@ -154,8 +168,19 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
                  fin_seq, fin_scores, fin_flags, heur_unsat)
         return state, hits
 
+    def _logp(logits_2d):
+        """Per-row log-probs; beam-sampling applies the HF warper chain
+        (temperature/top-k/top-p) to each beam's logits first."""
+        if dc.do_sample and (dc.temperature != 1.0 or dc.top_k > 0
+                             or dc.top_p < 1.0):
+            from .generation import apply_logit_filters
+            logits_2d = apply_logit_filters(
+                logits_2d, temperature=dc.temperature, top_k=dc.top_k,
+                top_p=dc.top_p)
+        return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
+
     # ---- fill position L from the (shared) prefill logits ------------------
-    logp0 = jax.nn.log_softmax(next_logits.astype(jnp.float32), axis=-1)
+    logp0 = _logp(next_logits)
     logp0 = jnp.broadcast_to(logp0[:, None, :], (b, k, vocab))
     state = (tokens, mask_buf, cache, run_scores,
              fin_seq, fin_scores, fin_flags, heur_unsat)
@@ -178,7 +203,7 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
             layer_hook=decode_hook, attention_mask=mask_buf,
             position_ids=pos_next + (cur - 1 - L),
             cache=cache, cache_index=cur - 1)
-        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        logp = _logp(logits[:, -1])
         state = (tokens, mask_buf, cache) + state[3:]
         state, hits = step_update(state, logp.reshape(b, k, vocab), cur)
         return state, hits, cur + 1
@@ -195,12 +220,14 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
 
 
 def beam_generate(params, config, dc, policy, input_ids, media_locations,
-                  attention_mask, visual_features, pixel_values=None):
-    """Beam-search decode. Returns (b, max_length) token ids: prompt + best
+                  attention_mask, visual_features, pixel_values=None,
+                  rng=None):
+    """Beam-search decode (``dc.do_sample`` = HF beam-sample via
+    Gumbel-top-k). Returns (b, max_length) token ids: prompt + best
     hypothesis (EOS kept in-sequence) + pads — HF decoded layout."""
     out, _scores = _beam_impl(params, config, dc, policy, input_ids,
                               media_locations, attention_mask, visual_features,
-                              pixel_values)
+                              pixel_values, rng)
     return out
 
 

@@ -48,6 +48,7 @@ class DecodeConfig:
     top_k: int = 0            # 0 = disabled
     top_p: float = 1.0        # 1.0 = disabled
     temperature: float = 1.0
+    repetition_penalty: float = 1.0   # HF RepetitionPenaltyLogitsProcessor
     num_beams: int = 1
     length_penalty: float = 1.0
     early_stopping: bool = True
@@ -127,6 +128,18 @@ def apply_logit_filters(logits: jnp.ndarray, *, temperature: float = 1.0,
     return logits
 
 
+def _repetition_penalty(logits, tokens, mask, penalty: float):
+    """HF RepetitionPenaltyLogitsProcessor: for every token already present
+    in the (real) sequence, divide positive logits by ``penalty`` and
+    multiply negative ones by it."""
+    b, vocab = logits.shape
+    seen = jnp.zeros((b, vocab), bool)
+    rows = jnp.arange(b)[:, None]
+    seen = seen.at[rows, tokens].max(mask.astype(bool))
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
 def _select_token(logits, dc: DecodeConfig, key):
     """Greedy or top-k/top-p/temperature sampling over (b, V) logits."""
     logits = logits.astype(jnp.float32)
@@ -155,6 +168,10 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     decode_hook = flamingo.make_layer_hook(
         params, config, xattn_kv, hook_decode_time, policy=policy)
 
+    if dc.repetition_penalty != 1.0:
+        next_logits = _repetition_penalty(
+            next_logits.astype(jnp.float32), st["tokens"], st["mask"],
+            dc.repetition_penalty)
     first_tok = _select_token(next_logits, dc, jax.random.fold_in(rng, L))
     finished0 = first_tok == dc.eos_token_id
 
@@ -180,7 +197,12 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             position_ids=st["pos_next"],
             cache=st["cache"], cache_index=cur)
         st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
-        nxt = _select_token(logits[:, -1], dc, jax.random.fold_in(rng, cur))
+        step_logits = logits[:, -1]
+        if dc.repetition_penalty != 1.0:
+            step_logits = _repetition_penalty(
+                step_logits.astype(jnp.float32), st["tokens"], st["mask"],
+                dc.repetition_penalty)
+        nxt = _select_token(step_logits, dc, jax.random.fold_in(rng, cur))
         new_finished = finished | (nxt == dc.eos_token_id)
         st = write(st, nxt, cur + 1, finished)
         return st, cur + 1, new_finished, nxt, rng
@@ -225,7 +247,7 @@ def generate(
         from .beam_search import beam_generate
         return beam_generate(params, config, dc, policy, input_ids,
                              media_locations, attention_mask, visual_features,
-                             pixel_values=pixel_values)
+                             pixel_values=pixel_values, rng=rng)
 
     tokens, _n = _generate_impl(params, config, dc, policy, input_ids,
                                 media_locations, attention_mask,

@@ -237,6 +237,7 @@ class FlamingoModel:
         top_k: int = 0,
         top_p: float = 1.0,
         temperature: float = 1.0,
+        repetition_penalty: float = 1.0,
         length_penalty: float = 1.0,
         early_stopping: bool = True,
         eos_token_id: Optional[int] = None,
@@ -249,7 +250,8 @@ class FlamingoModel:
         dc = DecodeConfig(
             max_length=max_length, eos_token_id=eos, pad_token_id=pad,
             do_sample=do_sample, top_k=top_k, top_p=top_p,
-            temperature=temperature, num_beams=num_beams,
+            temperature=temperature, repetition_penalty=repetition_penalty,
+            num_beams=num_beams,
             length_penalty=length_penalty, early_stopping=early_stopping)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),

@@ -59,6 +59,8 @@ class TrainingArguments:
     log_every_steps: int = 50
     seed: int = 42
     enable_dropout: bool = False   # frozen-trunk dropout (HF-Trainer parity)
+    remat: bool = False            # rematerialize the forward (jax.checkpoint):
+                                   # trade recompute FLOPs for activation memory
     tensor_parallel: bool = False
     mesh_shape: Optional[tuple] = None
     grad_clip_norm: Optional[float] = 1.0
@@ -132,6 +134,11 @@ class FlamingoTrainer:
                 labels=batch["labels"],
                 dropout_rng=rng if enable_dropout else None)
             return out.loss
+
+        if self.args.remat:
+            # rematerialize: drop activations in the forward, recompute them
+            # in the backward — trades FLOPs for HBM (jax.checkpoint)
+            loss_fn = jax.checkpoint(loss_fn)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(trainable, opt_state, frozen, batch, rng):
