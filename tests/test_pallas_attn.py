@@ -103,3 +103,47 @@ def test_full_model_pallas_policy_close_to_xla():
     np.testing.assert_allclose(
         np.asarray(out_fast.logits, np.float32),
         np.asarray(out_pallas.logits, np.float32), atol=0.15, rtol=0.1)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_streaming_flash_matches_xla(causal):
+    """Online-softmax streaming variant == XLA over multiple kv blocks."""
+    b, h, n, d = 1, 2, 96, 16
+    q, k, v = _rand((b, h, n, d), 10), _rand((b, h, n, d), 11), _rand((b, h, n, d), 12)
+    scale = d ** -0.5
+    got = fused_attention(q, k, v, scale=scale, causal=causal, block_q=32,
+                          streaming=True)
+    mask = jnp.tril(jnp.ones((n, n), bool))[None, None] if causal else None
+    want = attend(q * scale, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_flash_row_bias_and_padding():
+    """Streaming + padding row bias + non-multiple kv length."""
+    b, h, n_q, n_kv, d = 2, 2, 24, 40, 8
+    q = _rand((b, h, n_q, d), 13)
+    k = _rand((b, h, n_kv, d), 14)
+    v = _rand((b, h, n_kv, d), 15)
+    pad = np.ones((b, n_kv), np.int32)
+    pad[0, 33:] = 0
+    neg = np.finfo(np.float32).min
+    row = jnp.asarray(np.where(pad, 0.0, neg).astype(np.float32))
+
+    got = fused_attention(q, k, v, scale=0.4, row_bias=row, block_q=16,
+                          streaming=True)
+    want = attend(q * 0.4, k, v, bias=row[:, None, None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_streaming_flash_gradients():
+    b, h, n, d = 1, 2, 64, 8
+    q, k, v = _rand((b, h, n, d), 16), _rand((b, h, n, d), 17), _rand((b, h, n, d), 18)
+    scale = d ** -0.5
+    g1 = jax.grad(lambda q_: jnp.sum(fused_attention(
+        q_, k, v, scale=scale, causal=True, block_q=16, streaming=True) ** 2))(q)
+    g2 = jax.grad(lambda q_: jnp.sum(attend(
+        q_ * scale, k, v, mask=jnp.tril(jnp.ones((n, n), bool))[None, None]) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)
