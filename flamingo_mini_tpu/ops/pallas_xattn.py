@@ -19,7 +19,6 @@ models/xattn.apply_masked_xattn uses), so the kernel is training-safe.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
