@@ -63,27 +63,47 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
                       eos_token_id=vocab + 1, pad_token_id=0,
                       num_beams=num_beams, do_sample=do_sample, top_k=top_k)
 
-    # on-device input variation per run (see bench.py): defeats any
-    # transport-level memoization of identical executions
-    bump = jax.jit(lambda px, s: px + s.astype(px.dtype) * 1e-3)
+    # chained-marginal methodology (see bench.py): T(2 chained) - T(1)
+    # cancels the sandbox tunnel's per-call buffer shipping
+    from functools import partial as _partial
+    from flamingo_mini_tpu.generation import _generate_impl
+    from flamingo_mini_tpu.beam_search import _beam_impl
 
-    def run(seed):
-        px = bump(pixels, jnp.asarray(seed, jnp.float32))
-        out = generate(params, config, input_ids, policy=FAST, dc=dc,
-                       media_locations=media, attention_mask=mask,
-                       pixel_values=px,
-                       rng=jax.random.PRNGKey(seed))
-        return np.asarray(out)  # host transfer = strongest execution fence
+    @_partial(jax.jit, static_argnames=("reps",))
+    def chained(params, ids, media, mask, px, seed, reps):
+        px = px + seed.astype(px.dtype) * 1e-3
+        toks = ids
+        out = None
+        for r in range(reps):
+            if dc.num_beams > 1:
+                out, _ = _beam_impl(params, config, dc, FAST, toks, media,
+                                    mask, None, px + r * 1e-4,
+                                    jax.random.PRNGKey(r))
+            else:
+                out, _ = _generate_impl(params, config, dc, FAST, toks, media,
+                                        mask, None, px + r * 1e-4,
+                                        jax.random.PRNGKey(r))
+            toks = out[:, -prompt_len:] % min(vocab, 1000)
+        return out
+
+    def timed(reps):
+        f = lambda s: np.asarray(chained(params, input_ids, media, mask,
+                                         pixels, jnp.asarray(s, jnp.float32),
+                                         reps))
+        f(0)
+        ts = []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            f(i + 1)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
     t0 = time.time()
-    run(0)
-    compile_s = time.time() - t0
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        run(i + 1)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    t1 = timed(1)
+    compile_s = time.time() - t0 - t1 * repeats
+    t2 = timed(2)
+    marginal = t2 - t1
+    best = marginal if marginal > 0.25 * t1 else t1
     result = {
         "config": name,
         "captions_per_sec": round(batch / best, 3),
@@ -140,7 +160,9 @@ def main():
 
     with open(os.path.join(REPO, "BENCH_EXTENDED.json"), "w") as f:
         json.dump({"results": results,
-                   "int8": os.environ.get("FLAMINGO_BENCH_INT8") == "1"},
+                   "int8": os.environ.get("FLAMINGO_BENCH_INT8") == "1",
+                   "methodology": "chained-marginal on-chip time "
+                                  "(T(2 chained decodes) - T(1); see BENCH.md)"},
                   f, indent=2)
 
 
