@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..configuration_flamingo import CLIPViTArch
 from ..ops.attention import attend, merge_heads, split_heads
-from ..ops.layers import Policy, init_layer_norm, init_linear, layer_norm, linear, quick_gelu, get_activation
+from ..ops.layers import Policy, init_layer_norm, init_linear, layer_norm, linear, get_activation
 
 Params = Dict[str, Any]
 

@@ -22,7 +22,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..configuration_flamingo import FlamingoConfig, GPT2Arch, OPTArch
+from ..configuration_flamingo import FlamingoConfig, GPT2Arch
 from ..ops.layers import Policy
 from . import clip_vit, gpt2, opt
 from .resampler import apply_resampler, init_resampler

@@ -22,7 +22,7 @@ parity tests feed identical pixel_values instead).
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ two-pass compiled program:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

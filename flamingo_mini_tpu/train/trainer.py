@@ -20,18 +20,18 @@ from __future__ import annotations
 import logging
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..configuration_flamingo import FlamingoConfig, GPT2Arch
+from ..configuration_flamingo import FlamingoConfig
 from ..models import flamingo as F
-from ..ops.layers import Policy, policy_for
+from ..ops.layers import Policy
 from ..parallel import create_mesh, param_shardings, shard_batch, shard_params
 from ..utils import params as param_utils
 

@@ -15,7 +15,7 @@ Freeze rules (matching freeze_lm/freeze_vm):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
