@@ -1,8 +1,9 @@
 """Pallas fused-attention kernel: numerics vs the XLA path + gradient flow.
 
-Runs in interpreter mode on CPU (the kernel auto-selects interpret off-TPU);
-the same code compiles to Mosaic on real TPU (exercised by bench.py with
-use_pallas and by FLAMINGO_TEST_TPU=1 runs).
+Tight-tolerance tests pin interpret=True (they verify kernel LOGIC in true
+fp32); on real TPU Mosaic lowers fp32 dots at ~bf16 effective precision, so
+on-device behavior is covered by the loose-tolerance full-model test below
+and by bench.py with use_pallas.
 """
 import numpy as np
 import pytest
@@ -11,6 +12,15 @@ import jax
 import jax.numpy as jnp
 
 from flamingo_mini_tpu.ops.attention import attend
+
+# Tight-tolerance logic tests need true-fp32 execution on BOTH sides; on TPU
+# backends even interpret-mode jnp ops run at the device's default (bf16-ish)
+# matmul precision. These tests run in the CPU-pinned suite (see conftest);
+# on-device kernel behavior is covered by the loose-tolerance full-model test
+# and bench.py.
+tight = pytest.mark.skipif(
+    jax.default_backend() in ("tpu", "axon"),
+    reason="tight-tolerance kernel-logic tests require CPU fp32 execution")
 from flamingo_mini_tpu.ops.pallas_attn import fused_attention
 
 
@@ -18,13 +28,15 @@ def _rand(shape, seed):
     return jnp.asarray(np.random.RandomState(seed).randn(*shape).astype(np.float32))
 
 
+@tight
 @pytest.mark.parametrize("causal", [False, True])
 def test_matches_xla(causal):
     b, h, n, d = 2, 3, 40, 16
     q, k, v = _rand((b, h, n, d), 0), _rand((b, h, n, d), 1), _rand((b, h, n, d), 2)
     scale = d ** -0.5
 
-    got = fused_attention(q, k, v, scale=scale, causal=causal, block_q=16)
+    got = fused_attention(q, k, v, scale=scale, causal=causal, block_q=16,
+                          interpret=True)
     mask = None
     if causal:
         mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
@@ -33,6 +45,7 @@ def test_matches_xla(causal):
                                atol=2e-5, rtol=2e-5)
 
 
+@tight
 def test_row_bias_padding():
     """Padding via row_bias == additive mask in the XLA path."""
     b, h, n, d = 2, 2, 24, 8
@@ -43,7 +56,7 @@ def test_row_bias_padding():
     row = jnp.asarray(np.where(pad, 0.0, neg).astype(np.float32))
 
     got = fused_attention(q, k, v, scale=0.3, causal=True, row_bias=row,
-                          block_q=8)
+                          block_q=8, interpret=True)
     mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
     bias = row[:, None, None, :]
     want = attend(q * 0.3, k, v, mask=mask, bias=bias)
@@ -51,6 +64,7 @@ def test_row_bias_padding():
                                atol=2e-5, rtol=2e-5)
 
 
+@tight
 def test_gradients_match_xla():
     b, h, n, d = 1, 2, 16, 8
     q, k, v = _rand((b, h, n, d), 6), _rand((b, h, n, d), 7), _rand((b, h, n, d), 8)
@@ -58,7 +72,7 @@ def test_gradients_match_xla():
 
     def loss_pallas(q, k, v):
         return jnp.sum(fused_attention(q, k, v, scale=scale, causal=True,
-                                       block_q=8) ** 2)
+                                       block_q=8, interpret=True) ** 2)
 
     def loss_xla(q, k, v):
         mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
@@ -105,6 +119,7 @@ def test_full_model_pallas_policy_close_to_xla():
         np.asarray(out_pallas.logits, np.float32), atol=0.15, rtol=0.1)
 
 
+@tight
 @pytest.mark.parametrize("causal", [False, True])
 def test_streaming_flash_matches_xla(causal):
     """Online-softmax streaming variant == XLA over multiple kv blocks."""
@@ -112,13 +127,14 @@ def test_streaming_flash_matches_xla(causal):
     q, k, v = _rand((b, h, n, d), 10), _rand((b, h, n, d), 11), _rand((b, h, n, d), 12)
     scale = d ** -0.5
     got = fused_attention(q, k, v, scale=scale, causal=causal, block_q=32,
-                          streaming=True)
+                          streaming=True, interpret=True)
     mask = jnp.tril(jnp.ones((n, n), bool))[None, None] if causal else None
     want = attend(q * scale, k, v, mask=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
 
 
+@tight
 def test_streaming_flash_row_bias_and_padding():
     """Streaming + padding row bias + non-multiple kv length."""
     b, h, n_q, n_kv, d = 2, 2, 24, 40, 8
@@ -131,18 +147,20 @@ def test_streaming_flash_row_bias_and_padding():
     row = jnp.asarray(np.where(pad, 0.0, neg).astype(np.float32))
 
     got = fused_attention(q, k, v, scale=0.4, row_bias=row, block_q=16,
-                          streaming=True)
+                          streaming=True, interpret=True)
     want = attend(q * 0.4, k, v, bias=row[:, None, None, :])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
 
 
+@tight
 def test_streaming_flash_gradients():
     b, h, n, d = 1, 2, 64, 8
     q, k, v = _rand((b, h, n, d), 16), _rand((b, h, n, d), 17), _rand((b, h, n, d), 18)
     scale = d ** -0.5
     g1 = jax.grad(lambda q_: jnp.sum(fused_attention(
-        q_, k, v, scale=scale, causal=True, block_q=16, streaming=True) ** 2))(q)
+        q_, k, v, scale=scale, causal=True, block_q=16, streaming=True,
+        interpret=True) ** 2))(q)
     g2 = jax.grad(lambda q_: jnp.sum(attend(
         q_ * scale, k, v, mask=jnp.tril(jnp.ones((n, n), bool))[None, None]) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
