@@ -105,16 +105,20 @@ class FlamingoTrainer:
         tx.append(optax.adamw(sched, b1=args.beta1, b2=args.beta2,
                               weight_decay=args.weight_decay))
         self.optimizer = optax.chain(*tx)
-        self.opt_state = self.optimizer.init(self.trainable)
         self.step = 0
 
-        # place params on the mesh (replicated / TP-sharded)
+        # Place BOTH partitions on the mesh. The frozen LM/vision trunk is
+        # where virtually all the parameter memory lives, so under TP it must
+        # be sharded too — placing only the trainable slice would leave the
+        # trunk replicated and give no memory scaling.
         shardings = param_shardings(model.params, self.mesh,
                                     tensor_parallel=args.tensor_parallel)
-        self.trainable = shard_params(
-            self.trainable,
-            jax.tree_util.tree_map(lambda p, s: s, self.trainable,
-                                   _mask_tree(shardings, self.trainable)))
+        self.trainable = shard_params(self.trainable,
+                                      _mask_tree(shardings, self.trainable))
+        self.frozen = shard_params(self.frozen,
+                                   _mask_tree(shardings, self.frozen))
+        # init AFTER placement so adam mu/nu inherit the param shardings
+        self.opt_state = self.optimizer.init(self.trainable)
         self._train_step = self._build_train_step()
 
     # ------------------------------------------------------------------

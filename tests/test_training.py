@@ -148,6 +148,48 @@ def test_multi_device_tp_matches_single(processor):
     np.testing.assert_allclose(losses["single"], losses["dp4tp2"], rtol=2e-4)
 
 
+def test_tp_actually_shards_frozen_trunk(processor):
+    """TP must shard the FROZEN LM trunk (that's where the memory is), not
+    just the small trainable slice — assert real shard shapes, which loss
+    equality alone cannot distinguish from replication."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    args = TrainingArguments(output_dir="/tmp/fl_tp_shapes",
+                             mesh_shape=(4, 2), tensor_parallel=True,
+                             eval_every_steps=None, save_every_steps=None)
+    trainer = FlamingoTrainer(model, args)
+
+    c_attn_w = trainer.frozen["lm"]["blocks"][0]["c_attn"]["w"]
+    assert "model" in tuple(c_attn_w.sharding.spec)
+    # column-parallel: output dim (3*n_embd=96) split 2-ways over 'model'
+    assert c_attn_w.shape == (32, 96)
+    assert c_attn_w.addressable_shards[0].data.shape == (32, 48)
+
+    mlp_fc_w = trainer.frozen["lm"]["blocks"][0]["mlp_fc"]["w"]
+    assert mlp_fc_w.addressable_shards[0].data.shape == (
+        mlp_fc_w.shape[0], mlp_fc_w.shape[1] // 2)
+    c_proj_w = trainer.frozen["lm"]["blocks"][0]["c_proj"]["w"]
+    assert c_proj_w.addressable_shards[0].data.shape == (
+        c_proj_w.shape[0] // 2, c_proj_w.shape[1])
+
+    # adam state inherits the trainable shardings (init after placement)
+    xattn_leaf = trainer.trainable["xattn"]["0"]["attn"]["to_q"]["w"]
+    assert xattn_leaf.addressable_shards[0].data.shape == (
+        xattn_leaf.shape[0], xattn_leaf.shape[1] // 2)
+
+    # per-device bytes of the frozen trunk shrink vs replication
+    def device_bytes(tree):
+        return sum(x.addressable_shards[0].data.nbytes
+                   for x in jax.tree_util.tree_leaves(tree))
+
+    def total_bytes(tree):
+        return sum(x.nbytes for x in jax.tree_util.tree_leaves(tree))
+
+    assert device_bytes(trainer.frozen) < 0.85 * total_bytes(trainer.frozen)
+
+
 def test_eval_metrics_selfcontained():
     cands = ["a cat on a mat", "a dog"]
     refs = [["a cat sits on a mat", "the cat on the mat"],
