@@ -180,7 +180,9 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
 
     # ---- fill position L from the (shared) prefill logits ------------------
-    logp0 = _logp(next_logits)
+    from .generation import process_logits
+    logp0 = process_logits(_logp(next_logits), dc, st["tokens"], st["mask"],
+                           jnp.asarray(L, jnp.int32), L)
     logp0 = jnp.broadcast_to(logp0[:, None, :], (b, k, vocab))
     state = (tokens, mask_buf, cache, run_scores,
              fin_seq, fin_scores, fin_flags, heur_unsat)
@@ -203,7 +205,12 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
             layer_hook=decode_hook, attention_mask=mask_buf,
             position_ids=pos_next + (cur - 1 - L),
             cache=cache, cache_index=cur - 1)
-        logp = _logp(logits[:, -1])
+        # HF beam mode applies the processor chain to the POST-log_softmax
+        # scores (generation/utils.py _beam_search), unlike greedy/sample
+        # mode where it runs on raw logits — match that exactly
+        from .generation import process_logits
+        logp = process_logits(_logp(logits[:, -1]), dc, tokens, mask_buf,
+                              cur, L)
         state = (tokens, mask_buf, cache) + state[3:]
         state, hits = step_update(state, logp.reshape(b, k, vocab), cur)
         return state, hits, cur + 1
@@ -213,28 +220,41 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     (_tokens, _mask, _cache, run_scores,
      fin_seq, fin_scores, fin_flags, _heur) = state
 
-    # best finished sequence per row (pool is sorted desc; slot 0 = best).
-    # Rows that never finished anything keep -1e9 scores but slot 0 still
-    # holds the best candidate absorbed at the max_length step.
-    return fin_seq[:, 0], fin_scores[:, 0]
+    # finished pool per row, sorted desc by score (slot 0 = best). Rows that
+    # never finished anything keep -1e9 scores but slot 0 still holds the
+    # best candidate absorbed at the max_length step.
+    return fin_seq, fin_scores
 
 
 def beam_generate(params, config, dc, policy, input_ids, media_locations,
                   attention_mask, visual_features, pixel_values=None,
                   rng=None):
     """Beam-search decode (``dc.do_sample`` = HF beam-sample via
-    Gumbel-top-k). Returns (b, max_length) token ids: prompt + best
-    hypothesis (EOS kept in-sequence) + pads — HF decoded layout."""
-    out, _scores = _beam_impl(params, config, dc, policy, input_ids,
-                              media_locations, attention_mask, visual_features,
-                              pixel_values, rng)
-    return out
+    Gumbel-top-k). Returns token ids: prompt + best hypothesis (EOS kept
+    in-sequence) + pads — HF decoded layout. With
+    ``dc.num_return_sequences=n`` the top n hypotheses per row are returned
+    interleaved, shape (b*n, max_length), matching HF ``generate``."""
+    nrs = dc.num_return_sequences
+    if nrs > dc.num_beams:
+        raise ValueError(
+            f"num_return_sequences ({nrs}) must be <= num_beams "
+            f"({dc.num_beams}) for beam search (HF semantics)")
+    fin_seq, _scores = _beam_impl(params, config, dc, policy, input_ids,
+                                  media_locations, attention_mask,
+                                  visual_features, pixel_values, rng)
+    if nrs > 1:
+        b, _k, max_len = fin_seq.shape
+        return fin_seq[:, :nrs].reshape(b * nrs, max_len)
+    return fin_seq[:, 0]
 
 
 def beam_generate_with_scores(params, config, dc, policy, input_ids,
                               media_locations, attention_mask, visual_features,
-                              pixel_values=None):
+                              pixel_values=None, rng=None):
     """Like beam_generate but also returns the length-penalized sequence
-    scores (HF's ``sequences_scores``)."""
-    return _beam_impl(params, config, dc, policy, input_ids, media_locations,
-                      attention_mask, visual_features, pixel_values)
+    scores (HF's ``sequences_scores``). ``rng`` seeds beam-sampling
+    (``dc.do_sample``); None keeps the deterministic default key."""
+    fin_seq, fin_scores = _beam_impl(
+        params, config, dc, policy, input_ids, media_locations,
+        attention_mask, visual_features, pixel_values, rng)
+    return fin_seq[:, 0], fin_scores[:, 0]

@@ -52,6 +52,10 @@ class DecodeConfig:
     num_beams: int = 1
     length_penalty: float = 1.0
     early_stopping: bool = True
+    min_length: int = 0               # HF MinLengthLogitsProcessor
+    min_new_tokens: int = 0           # HF MinNewTokensLengthLogitsProcessor
+    no_repeat_ngram_size: int = 0     # HF NoRepeatNGramLogitsProcessor
+    num_return_sequences: int = 1     # HF: expand batch (sample) / top-n (beam)
 
 
 def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype):
@@ -114,6 +118,7 @@ def apply_logit_filters(logits: jnp.ndarray, *, temperature: float = 1.0,
     if temperature != 1.0:
         logits = logits / temperature
     if top_k > 0:
+        top_k = min(top_k, logits.shape[-1])  # HF clamps to vocab size
         kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
         logits = jnp.where(logits < kth, neg, logits)
     if top_p < 1.0:
@@ -138,6 +143,60 @@ def _repetition_penalty(logits, tokens, mask, penalty: float):
     seen = seen.at[rows, tokens].max(mask.astype(bool))
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
+
+
+def _ban_eos_while_short(logits, dc: DecodeConfig, idx, prompt_len: int):
+    """HF Min(NewTokens)LengthLogitsProcessor: EOS is -inf while the sequence
+    so far (length ``idx``, prompt included — HF counts pads too) is shorter
+    than ``min_length``, or fewer than ``min_new_tokens`` have been generated."""
+    neg = jnp.finfo(jnp.float32).min
+    too_short = (idx < dc.min_length) | ((idx - prompt_len) < dc.min_new_tokens)
+    eos_col = jnp.arange(logits.shape[-1]) == dc.eos_token_id
+    return jnp.where(too_short & eos_col[None, :], neg, logits)
+
+
+def _no_repeat_ngram(logits, tokens, idx, n: int):
+    """HF NoRepeatNGramLogitsProcessor: ban every token that would complete
+    an n-gram already present in the row. Operates on the raw token buffer
+    (prompt pads included), exactly like HF's view of ``input_ids``; slots at
+    or beyond ``idx`` (the sequence length so far) are excluded."""
+    b, max_len = tokens.shape
+    vocab = logits.shape[-1]
+    neg = jnp.finfo(jnp.float32).min
+    rows = jnp.arange(b)[:, None]
+    if n == 1:
+        pos_valid = jnp.arange(max_len)[None, :] < idx
+        seen = jnp.zeros((b, vocab), bool).at[rows, tokens].max(pos_valid)
+        return jnp.where(seen, neg, logits)
+    # last n-1 tokens of each row (dynamic_slice clamps a negative start, but
+    # then no window passes the j <= idx-n validity test anyway)
+    suffix = lax.dynamic_slice(tokens, (jnp.asarray(0, idx.dtype),
+                                        idx - (n - 1)), (b, n - 1))
+    m = max_len - n + 1
+    windows = jnp.stack(
+        [lax.slice_in_dim(tokens, i, i + m, axis=1) for i in range(n - 1)], -1)
+    next_tok = lax.slice_in_dim(tokens, n - 1, n - 1 + m, axis=1)   # (b, m)
+    match = jnp.all(windows == suffix[:, None, :], axis=-1)
+    match = match & (jnp.arange(m)[None, :] <= idx - n)
+    banned = jnp.zeros((b, vocab), bool).at[rows, next_tok].max(match)
+    return jnp.where(banned, neg, logits)
+
+
+def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
+                   prompt_len: int):
+    """The HF logits-processor chain in HF's order (repetition penalty ->
+    no-repeat-ngram -> min-length), applied to (b, V) next-token logits.
+    ``idx`` = length of the sequence so far = the position being filled."""
+    logits = logits.astype(jnp.float32)
+    if dc.repetition_penalty != 1.0:
+        logits = _repetition_penalty(logits, tokens, mask,
+                                     dc.repetition_penalty)
+    if dc.no_repeat_ngram_size > 0:
+        logits = _no_repeat_ngram(logits, tokens, idx,
+                                  dc.no_repeat_ngram_size)
+    if dc.min_length > 0 or dc.min_new_tokens > 0:
+        logits = _ban_eos_while_short(logits, dc, idx, prompt_len)
+    return logits
 
 
 def _select_token(logits, dc: DecodeConfig, key):
@@ -168,10 +227,8 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     decode_hook = flamingo.make_layer_hook(
         params, config, xattn_kv, hook_decode_time, policy=policy)
 
-    if dc.repetition_penalty != 1.0:
-        next_logits = _repetition_penalty(
-            next_logits.astype(jnp.float32), st["tokens"], st["mask"],
-            dc.repetition_penalty)
+    next_logits = process_logits(next_logits, dc, st["tokens"], st["mask"],
+                                 jnp.asarray(L, jnp.int32), L)
     first_tok = _select_token(next_logits, dc, jax.random.fold_in(rng, L))
     finished0 = first_tok == dc.eos_token_id
 
@@ -197,12 +254,13 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             position_ids=st["pos_next"],
             cache=st["cache"], cache_index=cur)
         st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
-        step_logits = logits[:, -1]
-        if dc.repetition_penalty != 1.0:
-            step_logits = _repetition_penalty(
-                step_logits.astype(jnp.float32), st["tokens"], st["mask"],
-                dc.repetition_penalty)
-        nxt = _select_token(step_logits, dc, jax.random.fold_in(rng, cur))
+        # this step fills position cur+1; sequence-so-far length == cur+1
+        step_logits = process_logits(logits[:, -1], dc, st["tokens"],
+                                     st["mask"], cur + 1, L)
+        # key derived from the absolute position being filled (cur+1) — the
+        # prefill pick used fold_in(rng, L) and the loop enters at cur == L,
+        # so fold_in(rng, cur) would reuse that key for the second token
+        nxt = _select_token(step_logits, dc, jax.random.fold_in(rng, cur + 1))
         new_finished = finished | (nxt == dc.eos_token_id)
         st = write(st, nxt, cur + 1, finished)
         return st, cur + 1, new_finished, nxt, rng
@@ -224,12 +282,21 @@ def generate(
     pixel_values: Optional[jnp.ndarray] = None,
     visual_features: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
 ) -> jnp.ndarray:
     """Generate token ids (b, max_length); prompt included, pads after EOS.
 
     ``pixel_values``/``visual_features`` semantics mirror the reference
     forward (modeling_flamingo.py:241-257). Beam search dispatches to
     ``beam_search.beam_generate``.
+
+    ``num_return_sequences > 1`` follows HF semantics: with sampling the
+    batch is expanded n-fold (rows i*n..i*n+n-1 are the n samples for prompt
+    i); with beams the top-n hypotheses per row are returned; greedy raises.
+
+    ``mesh``: DP-sharded batched serving — inputs are split over the mesh's
+    first (data) axis, params replicated; XLA compiles one SPMD decode
+    program, so an N-chip mesh serves N× the batch at single-chip latency.
     """
     b, L = input_ids.shape
     if attention_mask is None:
@@ -242,6 +309,33 @@ def generate(
             policy.dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    nrs = dc.num_return_sequences
+    if nrs > 1 and dc.num_beams == 1:
+        if not dc.do_sample:
+            raise ValueError(
+                "num_return_sequences > 1 requires do_sample=True or "
+                "num_beams >= num_return_sequences (HF semantics)")
+        rep = lambda x: None if x is None else jnp.repeat(x, nrs, axis=0)
+        input_ids, media_locations, attention_mask = (
+            rep(input_ids), rep(media_locations), rep(attention_mask))
+        pixel_values, visual_features = rep(pixel_values), rep(visual_features)
+
+    if mesh is not None and len(mesh.devices.flat) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_data = mesh.devices.shape[0]
+        if input_ids.shape[0] % n_data != 0:
+            raise ValueError(
+                f"batch {input_ids.shape[0]} not divisible by the mesh data "
+                f"axis ({n_data})")
+        data_s = NamedSharding(mesh, P(mesh.axis_names[0]))
+        repl = NamedSharding(mesh, P())
+        put = lambda x: None if x is None else jax.device_put(x, data_s)
+        input_ids, media_locations, attention_mask = (
+            put(input_ids), put(media_locations), put(attention_mask))
+        pixel_values, visual_features = put(pixel_values), put(visual_features)
+        params = jax.device_put(params, repl)
+        rng = jax.device_put(rng, repl)
 
     if dc.num_beams > 1:
         from .beam_search import beam_generate

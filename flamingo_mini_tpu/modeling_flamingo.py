@@ -240,9 +240,14 @@ class FlamingoModel:
         repetition_penalty: float = 1.0,
         length_penalty: float = 1.0,
         early_stopping: bool = True,
+        min_length: int = 0,
+        min_new_tokens: int = 0,
+        no_repeat_ngram_size: int = 0,
+        num_return_sequences: int = 1,
         eos_token_id: Optional[int] = None,
         pad_token_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ) -> jnp.ndarray:
         arch = self.config.lm_arch
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
@@ -252,14 +257,17 @@ class FlamingoModel:
             do_sample=do_sample, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
             num_beams=num_beams,
-            length_penalty=length_penalty, early_stopping=early_stopping)
+            length_penalty=length_penalty, early_stopping=early_stopping,
+            min_length=min_length, min_new_tokens=min_new_tokens,
+            no_repeat_ngram_size=no_repeat_ngram_size,
+            num_return_sequences=num_return_sequences)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy, dc=dc,
             media_locations=_maybe(media_locations),
             attention_mask=_maybe(attention_mask),
             pixel_values=_maybe(pixel_values),
-            visual_features=_maybe(visual_features), rng=rng)
+            visual_features=_maybe(visual_features), rng=rng, mesh=mesh)
 
     def generate_captions(
         self,

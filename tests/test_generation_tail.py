@@ -1,0 +1,244 @@
+"""HF-oracle tests for the generation tail features added for reference
+parity (the reference inherits the full HF ``generate()`` surface;
+/root/reference/flamingo_mini/modeling_flamingo.py:464-548):
+min_new_tokens / min_length, no_repeat_ngram_size, num_return_sequences —
+plus the sampling-RNG distinctness fix and mesh-sharded DP generation.
+
+Same oracle trick as test_beam_search.py: zero xattn gates and no media make
+Flamingo reduce exactly to its GPT-2 trunk, so HF GPT2LMHeadModel.generate
+is ground truth.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from flamingo_mini_tpu.configuration_flamingo import FlamingoConfig
+from flamingo_mini_tpu.generation import DecodeConfig, generate
+from flamingo_mini_tpu.models.flamingo import init_flamingo
+from flamingo_mini_tpu.ops.layers import PARITY
+from flamingo_mini_tpu.utils.hf_weights import convert_gpt2, state_dict_to_numpy
+
+TINY_LM = dict(vocab_size=128, n_positions=64, n_embd=32, n_layer=2, n_head=4)
+
+
+@pytest.fixture(scope="module")
+def gpt2_pair():
+    from transformers import GPT2Config, GPT2LMHeadModel
+    torch.manual_seed(42)
+    m = GPT2LMHeadModel(GPT2Config(**TINY_LM, attn_pdrop=0.0, embd_pdrop=0.0,
+                                   resid_pdrop=0.0))
+    m.resize_token_embeddings(TINY_LM["vocab_size"] + 1)
+    m.eval()
+    config = FlamingoConfig(
+        lm="gpt2", dim=32, dim_visual=32, xattn_every=2, xattn_dim_head=8,
+        xattn_heads=4, resampler_depth=1, resampler_dim_head=8,
+        resampler_heads=4, resampler_num_latents=4,
+        lm_arch_overrides=TINY_LM,
+        vision_arch_overrides=dict(hidden_size=32, intermediate_size=64,
+                                   num_hidden_layers=1, num_attention_heads=4,
+                                   image_size=32, patch_size=8))
+    params = init_flamingo(jax.random.PRNGKey(0), config, with_vision=False)
+    params["lm"] = convert_gpt2(state_dict_to_numpy(m.state_dict()))
+    for blk in params["xattn"].values():
+        blk["alpha_attn"] = jnp.zeros_like(blk["alpha_attn"])
+        blk["alpha_ffw"] = jnp.zeros_like(blk["alpha_ffw"])
+    return m, params, config
+
+
+def _hf_generate(m, input_ids, **kw):
+    from transformers import GenerationConfig
+    # transformers 4.57 resolves length from max_new_tokens (default 20),
+    # ignoring GenerationConfig.max_length for greedy — pin it explicitly
+    if "max_length" in kw:
+        kw.setdefault("max_new_tokens", kw["max_length"] - input_ids.shape[1])
+    with torch.no_grad():
+        return m.generate(torch.tensor(input_ids),
+                          generation_config=GenerationConfig(**kw)).numpy()
+
+
+def _probe_eos(m, input_ids, max_length):
+    """A token the greedy model actually emits early — usable as EOS."""
+    with torch.no_grad():
+        out = m.generate(torch.tensor(input_ids), max_length=max_length,
+                         do_sample=False, pad_token_id=0, eos_token_id=None)
+    return int(out[0, input_ids.shape[1] + 1])
+
+
+def test_no_repeat_ngram_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 20
+    rs = np.random.RandomState(3)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        no_repeat_ngram_size=2, eos_token_id=128,
+                        pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, no_repeat_ngram_size=2)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+    # sanity: the constraint binds — plain greedy differs on this model
+    plain = np.asarray(generate(
+        params, config, jnp.asarray(input_ids), policy=PARITY,
+        dc=DecodeConfig(max_length=max_length, eos_token_id=128,
+                        pad_token_id=128)))
+    assert not np.array_equal(plain, got)
+
+
+def test_min_new_tokens_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 18
+    rs = np.random.RandomState(11)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    eos = _probe_eos(m, input_ids, max_length)
+
+    for min_new in (0, 6):
+        want = _hf_generate(m, input_ids, max_length=max_length,
+                            do_sample=False, min_new_tokens=min_new,
+                            eos_token_id=eos, pad_token_id=eos)
+        dc = DecodeConfig(max_length=max_length, eos_token_id=eos,
+                          pad_token_id=eos, min_new_tokens=min_new)
+        got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                                  policy=PARITY, dc=dc))
+        np.testing.assert_array_equal(got[:, :want.shape[1]], want,
+                                      err_msg=f"min_new_tokens={min_new}")
+
+
+def test_min_length_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 18
+    rs = np.random.RandomState(11)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    eos = _probe_eos(m, input_ids, max_length)
+
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        min_length=12, eos_token_id=eos, pad_token_id=eos)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=eos,
+                      pad_token_id=eos, min_length=12)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_beam_no_repeat_ngram_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 16
+    rs = np.random.RandomState(5)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        num_beams=3, early_stopping=True,
+                        no_repeat_ngram_size=2, eos_token_id=128,
+                        pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, num_beams=3, no_repeat_ngram_size=2)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_beam_num_return_sequences_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 14
+    rs = np.random.RandomState(7)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    eos = _probe_eos(m, input_ids, max_length)
+
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        num_beams=3, num_return_sequences=3,
+                        early_stopping=True, eos_token_id=eos,
+                        pad_token_id=eos)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=eos,
+                      pad_token_id=eos, num_beams=3, num_return_sequences=3)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    assert got.shape[0] == b * 3
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_sample_num_return_sequences_expands_batch(gpt2_pair):
+    _, params, config = gpt2_pair
+    b, n, max_length, nrs = 2, 4, 14, 4
+    rs = np.random.RandomState(1)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=999,
+                      pad_token_id=0, do_sample=True, temperature=2.0,
+                      num_return_sequences=nrs)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc,
+                              rng=jax.random.PRNGKey(5)))
+    assert got.shape == (b * nrs, max_length)
+    # all rows share the prompt per group; the samples differ between rows
+    for i in range(b):
+        grp = got[i * nrs:(i + 1) * nrs]
+        np.testing.assert_array_equal(grp[:, :n],
+                                      np.tile(input_ids[i], (nrs, 1)))
+        assert len({tuple(r) for r in grp}) > 1, "samples are identical"
+
+
+def test_greedy_num_return_sequences_raises(gpt2_pair):
+    _, params, config = gpt2_pair
+    dc = DecodeConfig(max_length=10, eos_token_id=999, pad_token_id=0,
+                      num_return_sequences=2)
+    with pytest.raises(ValueError):
+        generate(params, config, jnp.zeros((1, 4), jnp.int32),
+                 policy=PARITY, dc=dc)
+
+
+def test_sampling_steps_use_distinct_keys(gpt2_pair):
+    """Regression for the fold_in(rng, L) == fold_in(rng, cur@L) key reuse:
+    with ALL-ZERO LM weights the next-token logits are constant, so with the
+    bug tokens 1 and 2 of every sampled decode came from the SAME key applied
+    to the SAME distribution -> always identical. Fixed: iid uniform."""
+    _, params, config = gpt2_pair
+    zero_lm = jax.tree_util.tree_map(jnp.zeros_like, params["lm"])
+    p = dict(params, lm=zero_lm)
+    b, n = 4, 4
+    input_ids = jnp.ones((b, n), jnp.int32)
+    dc = DecodeConfig(max_length=n + 4, eos_token_id=999, pad_token_id=0,
+                      do_sample=True)
+    diffs = 0
+    for seed in range(8):
+        out = np.asarray(generate(p, config, input_ids, policy=PARITY, dc=dc,
+                                  rng=jax.random.PRNGKey(seed)))
+        diffs += int(np.any(out[:, n] != out[:, n + 1]))
+    # vocab=129 uniform: P(all 8*4 pairs collide) ~ (1/129)^32 ~ 0
+    assert diffs >= 7, f"tokens 1 and 2 correlated: {diffs}/8 seeds differ"
+
+
+def test_generate_dp_mesh_matches_single(gpt2_pair):
+    """DP-sharded batched serving: greedy tokens on an 8-device mesh equal
+    the single-device result (VERDICT r1 weak #3)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from flamingo_mini_tpu.parallel import create_mesh
+    _, params, config = gpt2_pair
+    b, n, max_length = 8, 4, 14
+    rs = np.random.RandomState(13)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128, pad_token_id=128)
+
+    single = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                                 policy=PARITY, dc=dc))
+    mesh = create_mesh((8, 1))
+    sharded = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                                  policy=PARITY, dc=dc, mesh=mesh))
+    np.testing.assert_array_equal(single, sharded)
+    # batch not divisible by the data axis -> explicit error
+    with pytest.raises(ValueError):
+        generate(params, config, jnp.asarray(input_ids[:6]), policy=PARITY,
+                 dc=dc, mesh=mesh)
+
+
+def test_top_k_clamped_to_vocab(gpt2_pair):
+    """top_k > vocab must not crash (HF clamps to vocab size)."""
+    _, params, config = gpt2_pair
+    dc = DecodeConfig(max_length=8, eos_token_id=999, pad_token_id=0,
+                      do_sample=True, top_k=10_000)
+    out = generate(params, config, jnp.ones((1, 4), jnp.int32),
+                   policy=PARITY, dc=dc, rng=jax.random.PRNGKey(0))
+    assert out.shape == (1, 8)
