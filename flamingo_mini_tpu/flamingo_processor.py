@@ -4,9 +4,11 @@ API-parity re-design of the reference processor
 (/root/reference/flamingo_mini/flamingo_processor.py:11-147): same public
 methods (``encode_text``, ``prepare_caption(s)``, ``remove_tags``,
 ``get_media_locations``, ``preprocess_images``, ``__call__``) and the same
-semantics — ``<EOC>`` added token, pad=eos, BOS on, media locations derived
-from the two "<" token ids (with/without leading space; the ids differ:
-gpt2 27/1279, opt 51552/28696 — flamingo_processor.py:53-61).
+semantics — ``<EOC>`` added token, pad=eos, BOS behavior matching the
+reference's DEFAULT fast tokenizers (GPT-2: none — GPT2TokenizerFast ignores
+add_bos_token; OPT: ``</s>``), media locations derived from the two "<"
+token ids (with/without leading space; the ids differ: gpt2 27/1279,
+opt 51552/28696 — flamingo_processor.py:53-61).
 
 Differences by design:
 * returns JAX arrays (device-resident), not torch tensors;
@@ -33,16 +35,25 @@ class FlamingoProcessor:
         tokenizer: Optional[BPETokenizer] = None,
         eoc_token: str = "<EOC>",
         vocab_path: Optional[str] = None,
+        add_bos: Optional[bool] = None,
     ):
+        """``add_bos=None`` keeps the per-family parity default (GPT-2: no
+        BOS — the reference's fast tokenizer ignores add_bos_token; OPT:
+        </s> prepended). Pass True/False to override (True mimics the
+        reference's use_fast=False path for GPT-2)."""
         self.config = config
         self.eoc_token = eoc_token
         if tokenizer is None:
             if config.lm.startswith("gpt"):
-                tokenizer = BPETokenizer.gpt2(vocab_path)
+                tokenizer = (BPETokenizer.gpt2(vocab_path) if add_bos is None
+                             else BPETokenizer.gpt2(vocab_path, add_bos=add_bos))
             elif config.lm.startswith("facebook/opt"):
-                tokenizer = BPETokenizer.opt(vocab_path)
+                tokenizer = (BPETokenizer.opt(vocab_path) if add_bos is None
+                             else BPETokenizer.opt(vocab_path, add_bos=add_bos))
             else:
                 raise ValueError(f"unsupported lm {config.lm!r}")
+        elif add_bos is not None:
+            tokenizer.add_bos = add_bos
         self.tokenizer = tokenizer
         self.eoc_token_id = self.tokenizer.add_token(eoc_token)
 

@@ -111,6 +111,12 @@ def score_sequences(
     n_choices = int(input_ids.shape[0])
     n_reuse = get_common_prefix_length(np.asarray(input_ids))
     k = min(k, n_choices)
+    if n_reuse == 0:
+        # the top-k pre-filter conditions on the shared prefix's next-token
+        # logits; with NO genuinely common prefix that conditioning is row
+        # 0's first token, which could wrongly filter other rows -> disable
+        # the filter (pass 2 recomputes every row from index 0 regardless)
+        k = n_choices
     # the reference fails when all sequences are equal (modeling_flamingo.py:636);
     # we clamp so the choice pass always has >= 1 token
     n_reuse = min(n_reuse, int(input_ids.shape[1]) - 1)

@@ -5,13 +5,17 @@ The reference delegates tokenization to HF hub downloads
 runs in zero-egress environments, so the BPE algorithm is implemented here
 and vocabularies load from local files (``vocab.json`` + ``merges.txt``, the
 standard GPT-2 artifact format, found in any HF checkpoint directory or
-cache). When the ``transformers`` tokenizer classes can resolve the files
-(e.g. a warm HF cache), ``HFTokenizerAdapter`` wraps them instead — both
-expose the same small interface consumed by FlamingoProcessor.
+cache).
 
-Behavioral parity targets:
+Behavioral parity targets (matching the reference's DEFAULT ``use_fast=True``
+tokenizers — flamingo_processor.py:35-49):
 * byte-level pre-tokenization with the GPT-2 regex;
-* BOS prepended when ``add_bos`` (GPT-2: ``<|endoftext|>`` 50256; OPT: ``</s>`` 2);
+* GPT-2: NO BOS. The reference sets ``add_bos_token = True``
+  (flamingo_processor.py:49) but drives ``GPT2TokenizerFast``, whose encode
+  path ignores that attribute (confirmed in transformers 4.57) — so reference
+  checkpoints were trained/driven without a leading ``<|endoftext|>``.
+  OPT's fast tokenizer DOES prepend ``</s>`` (id 2). Override via ``add_bos``
+  to mimic the slow (``use_fast=False``) reference path instead;
 * added tokens (``<EOC>``) get ids after the base vocab;
 * ``encode(" <")[-1] != encode("<")[-1]`` — the leading-space id split that
   the media-location logic depends on (flamingo_processor.py:53-61).
@@ -266,20 +270,27 @@ class BPETokenizer:
                               os.path.join(path, "merges.txt"), **kw)
 
     @classmethod
-    def gpt2(cls, path: Optional[str] = None) -> "BPETokenizer":
-        """GPT-2 tokenizer: BOS/EOS = <|endoftext|> (50256), add_bos on
-        (the reference enables add_bos_token; flamingo_processor.py:49)."""
+    def gpt2(cls, path: Optional[str] = None,
+             add_bos: bool = False) -> "BPETokenizer":
+        """GPT-2 tokenizer: BOS/EOS = <|endoftext|> (50256), NO BOS by
+        default. The reference sets ``add_bos_token = True``
+        (flamingo_processor.py:49) but its default ``GPT2TokenizerFast``
+        encode path ignores that attribute (transformers 4.57), so reference
+        checkpoints actually see no leading BOS; ``add_bos=True`` reproduces
+        the slow (``use_fast=False``) reference path instead."""
         if path is None:
             path = _find_local_vocab("gpt2")
-        return cls.from_dir(path, eos_token="<|endoftext|>", add_bos=True)
+        return cls.from_dir(path, eos_token="<|endoftext|>", add_bos=add_bos)
 
     @classmethod
-    def opt(cls, path: Optional[str] = None) -> "BPETokenizer":
-        """OPT tokenizer: GPT-2 BPE files with </s> BOS=EOS (id 2)."""
+    def opt(cls, path: Optional[str] = None,
+            add_bos: bool = True) -> "BPETokenizer":
+        """OPT tokenizer: GPT-2 BPE files with </s> BOS=EOS (id 2). OPT's
+        fast tokenizer DOES prepend </s>, so add_bos defaults on."""
         if path is None:
             path = _find_local_vocab("opt")
         return cls.from_dir(path, eos_token="</s>", bos_token="</s>",
-                            unk_token="</s>", add_bos=True)
+                            unk_token="</s>", add_bos=add_bos)
 
 
 def _find_local_vocab(family: str) -> str:
@@ -291,11 +302,16 @@ def _find_local_vocab(family: str) -> str:
     hf_home = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
     hub = os.path.join(hf_home, "hub")
     if os.path.isdir(hub):
-        name = {"gpt2": "models--gpt2", "opt": "models--facebook--opt-30b"}[family]
-        root = os.path.join(hub, name, "snapshots")
-        if os.path.isdir(root):
-            for snap in sorted(os.listdir(root)):
-                candidates.append(os.path.join(root, snap))
+        # all OPT models share one GPT-2-style vocab — accept any cached size
+        prefixes = {"gpt2": ("models--gpt2",),
+                    "opt": ("models--facebook--opt-",)}[family]
+        for entry in sorted(os.listdir(hub)):
+            if not any(entry == p or entry.startswith(p) for p in prefixes):
+                continue
+            root = os.path.join(hub, entry, "snapshots")
+            if os.path.isdir(root):
+                for snap in sorted(os.listdir(root)):
+                    candidates.append(os.path.join(root, snap))
     for c in candidates:
         if c and os.path.isfile(os.path.join(c, "vocab.json")):
             return c

@@ -71,9 +71,12 @@ class TrainingArguments:
 
 def constant_with_warmup(lr: float, warmup_steps: int):
     """The reference's schedule: linear warmup then constant
-    (train.sh:10 'constant_with_warmup')."""
+    (train.sh:10 'constant_with_warmup'), HF-exact: lr(step) =
+    lr * step / warmup_steps for step < warmup (so step 0 has lr 0), then
+    constant — matching get_constant_schedule_with_warmup."""
     def schedule(step):
-        return lr * jnp.minimum(1.0, (step + 1) / max(warmup_steps, 1))
+        return lr * jnp.where(step < warmup_steps,
+                              step / max(warmup_steps, 1), 1.0)
     return schedule
 
 

@@ -73,6 +73,8 @@ def test_frozen_params_do_not_move(processor):
                              eval_every_steps=None, save_every_steps=None)
     trainer = FlamingoTrainer(model, args, train_dataset=ds, collator=col)
     batch = col([ds[i] for i in range(8)])
+    # two steps: HF-exact warmup runs step 0 at lr 0
+    trainer.train_step_on(batch)
     trainer.train_step_on(batch)
     params = trainer.params
     np.testing.assert_array_equal(
