@@ -228,6 +228,10 @@ class FlamingoConfig:
 
     @classmethod
     def from_pretrained(cls, path: str) -> "FlamingoConfig":
+        """``path``: directory, config.json path, or hub id resolved from
+        the local HF cache (utils/hub.py; reference README.md:33)."""
+        from .utils.hub import resolve_checkpoint_dir
+        path = resolve_checkpoint_dir(path)
         cfg_file = path if path.endswith(".json") else os.path.join(path, "config.json")
         with open(cfg_file) as f:
             return cls.from_dict(json.load(f))

@@ -115,8 +115,13 @@ class FlamingoModel:
                         vision_params: Optional[Params] = None,
                         clip_checkpoint: Optional[str] = None,
                         rng: Optional[jax.Array] = None) -> "FlamingoModel":
-        """Load from a directory containing config.json + weights (native npz
-        or an HF torch checkpoint)."""
+        """Load from a local directory containing config.json + weights
+        (native npz or an HF torch checkpoint), or from a hub id like
+        ``'dhansmair/flamingo-mini'`` resolved against the local HF cache
+        (reference modeling_flamingo.py:359-376, README.md:33; zero-egress —
+        never fetches)."""
+        from .utils.hub import resolve_checkpoint_dir
+        path = resolve_checkpoint_dir(path)
         if config is None:
             config = FlamingoConfig.from_pretrained(path)
 
@@ -143,7 +148,8 @@ class FlamingoModel:
             if vision_params is not None:
                 params["vision"] = vision_params
             elif clip_checkpoint is not None:
-                csd = _load_torch_state_dict(clip_checkpoint)
+                csd = _load_torch_state_dict(
+                    resolve_checkpoint_dir(clip_checkpoint))
                 params["vision"] = convert_clip_vit(csd)
             else:
                 key = rng if rng is not None else jax.random.PRNGKey(0)
