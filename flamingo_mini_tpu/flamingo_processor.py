@@ -114,10 +114,13 @@ class FlamingoProcessor:
         """1 where the token is '<' of an '<image>' tag (either id variant);
         reference flamingo_processor.py:120-121."""
         arr = jnp.asarray(input_ids)
-        out = jnp.zeros_like(arr)
+        out = jnp.zeros_like(arr, dtype=bool)
         for leq in self.leq_ids:
-            out = out + (arr == leq).astype(arr.dtype)
-        return out
+            out = out | (arr == leq)
+        # OR, not sum: with a vocab where "<" and " <" share an id (no
+        # leading-space merge) a sum would double-count each tag, pushing
+        # text_time past the media count
+        return out.astype(arr.dtype)
 
     def prepare_caption(self, caption: str) -> str:
         """'<image>' + caption + '<EOC>' + eos (BOS comes from the tokenizer);

@@ -101,7 +101,10 @@ def apply_masked_xattn(
 
     sim = jnp.matmul(q, jnp.swapaxes(k, -1, -2), precision=policy.precision,
                      preferred_element_type=jnp.float32).astype(q.dtype)
-    sim = jnp.where(mask, sim, jnp.asarray(jnp.finfo(jnp.float32).min, q.dtype))
+    # dtype-aware fill like the reference's masked_fill(-finfo(sim.dtype).max)
+    # (gated_cross_attention.py:112): f32's min would overflow bf16 to -inf
+    # and NaN any fully-masked row (e.g. text_time beyond the media count)
+    sim = jnp.where(mask, sim, jnp.asarray(jnp.finfo(q.dtype).min, q.dtype))
     sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
     alphas = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
 

@@ -75,10 +75,18 @@ def attend(
     # masked_fill (where) comes before the additive bias: HF GPT-2 applies the
     # causal where(finfo.min) first, then adds the padding bias. finfo.min is
     # the same value as -finfo.max, so one constant serves both conventions.
-    if mask is not None:
-        sim = jnp.where(mask, sim, jnp.asarray(-NEG_MAX, dtype))
-    if bias is not None:
-        sim = sim + bias.astype(dtype)
+    # The fill must be finite IN THE COMPUTE DTYPE (the torch reference's
+    # masked_fill(-finfo(sim.dtype).max) is dtype-aware too): f32's min cast
+    # to bf16 overflows to -inf, and a fully-masked row (e.g. a left-pad
+    # query) would then softmax to NaN and 0*NaN-poison every downstream
+    # matmul. The clamp also absorbs causal-fill + pad-bias double counting.
+    if mask is not None or bias is not None:
+        neg = jnp.asarray(jnp.finfo(dtype).min, dtype)
+        if mask is not None:
+            sim = jnp.where(mask, sim, neg)
+        if bias is not None:
+            sim = sim + bias.astype(dtype)
+        sim = jnp.maximum(sim, neg)
     if stabilize:
         sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
     # softmax in fp32 for bf16 stability

@@ -72,6 +72,38 @@ class CocoCaptionDataset:
         return CaptionSample(image=img, caption=random.choice(captions))
 
 
+class CocoCaptionEvalDataset:
+    """COCO val split for captioning eval: yields (image, ALL reference
+    captions) — the shape evaluate_image_captioning consumes (the reference
+    evaluates COCO *val* with every annotation as a reference;
+    training/train.py:160-168, eval.py:27-62)."""
+
+    def __init__(self, root: str, ann_file: str):
+        from torchvision.datasets import CocoCaptions
+        self.ds = CocoCaptions(root=root, annFile=ann_file)
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i: int):
+        img, captions = self.ds[i]
+        return img, list(captions)
+
+
+class SyntheticEvalDataset:
+    """(image, [caption]) view over SyntheticCaptionDataset for eval."""
+
+    def __init__(self, ds: SyntheticCaptionDataset):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i: int):
+        s = self.ds[i]
+        return s.image, [s.caption]
+
+
 class DataCollator:
     """Samples -> model batch dict (numpy; device placement happens in the
     trainer via shard_batch)."""

@@ -67,6 +67,9 @@ class TrainingArguments:
     eval_coco_captioning_prefix: str = "<image>A picture of"
     eval_coco_captioning_start: int = 0
     eval_coco_captioning_end: int = 1000
+    per_device_eval_batch_size: int = 64
+    report_to: str = "jsonl"       # "jsonl" | "wandb" | "none" (train.sh:25)
+    run_name: Optional[str] = None
 
 
 def constant_with_warmup(lr: float, warmup_steps: int):
@@ -88,12 +91,27 @@ class FlamingoTrainer:
         train_dataset=None,
         eval_fn: Optional[Callable[["FlamingoTrainer"], Dict[str, float]]] = None,
         collator=None,
+        eval_dataset=None,      # indexable of (image, List[str] references) —
+                                # the reference's COCO *val* split
+                                # (training/train.py:160-168, eval.py:27-62)
+        processor=None,         # needed for eval captioning; defaults to
+                                # collator.processor
     ):
         self.model = model
         self.args = args
         self.train_dataset = train_dataset
         self.eval_fn = eval_fn
         self.collator = collator
+        self.eval_dataset = eval_dataset
+        self.processor = processor if processor is not None else \
+            getattr(collator, "processor", None)
+        from .metrics import MetricsLogger
+        self.metrics = MetricsLogger(
+            report_to=args.report_to, output_dir=args.output_dir,
+            run_name=args.run_name,
+            config={f: getattr(args, f) for f in (
+                "learning_rate", "warmup_steps", "per_device_batch_size",
+                "sequence_length", "tensor_parallel")})
         self.config: FlamingoConfig = model.config
         self.policy: Policy = model.policy
 
@@ -179,13 +197,37 @@ class FlamingoTrainer:
         self.step += 1
         return float(loss)
 
+    def evaluate(self) -> Dict[str, float]:
+        """COCO-captioning evaluation on the held-out eval_dataset (the
+        reference overrides Trainer.evaluate the same way,
+        training/train.py:102-123); ``eval_fn`` takes precedence when given."""
+        if self.eval_fn is not None:
+            return self.eval_fn(self)
+        if self.eval_dataset is None or self.processor is None:
+            raise ValueError("evaluate() needs eval_dataset + processor "
+                             "(or an eval_fn)")
+        from .eval import evaluate_image_captioning
+        self.params  # sync trained weights back into the model
+        args = self.args
+        metrics = evaluate_image_captioning(
+            self.eval_dataset, self.model, self.processor,
+            prefix=args.eval_coco_captioning_prefix,
+            start=args.eval_coco_captioning_start,
+            end=args.eval_coco_captioning_end,
+            batch_size=args.per_device_eval_batch_size)
+        return {f"eval_{k}": v for k, v in metrics.items()}
+
     def train(self, resume_from_checkpoint: Optional[str] = None):
         from .data import batches
         if resume_from_checkpoint:
             self.load_checkpoint(resume_from_checkpoint)
         args = self.args
+        sched = constant_with_warmup(args.learning_rate, args.warmup_steps)
         t0 = time.time()
         losses = []
+        can_eval = (self.eval_fn is not None
+                    or (self.eval_dataset is not None
+                        and self.processor is not None))
         for epoch in range(args.num_epochs):
             for batch in batches(self.train_dataset, self.collator,
                                  args.per_device_batch_size
@@ -194,19 +236,24 @@ class FlamingoTrainer:
                 loss = self.train_step_on(batch)
                 losses.append(loss)
                 if self.step % args.log_every_steps == 0:
-                    logger.info("step %d loss %.4f (%.2f s/it)", self.step,
-                                float(np.mean(losses[-args.log_every_steps:])),
-                                (time.time() - t0) / max(1, len(losses)))
+                    self.metrics.log({
+                        "loss": float(np.mean(losses[-args.log_every_steps:])),
+                        "learning_rate": float(sched(self.step - 1)),
+                        "epoch": epoch,
+                        "s_per_it": (time.time() - t0) / max(1, len(losses)),
+                    }, step=self.step)
                 if args.save_every_steps and self.step % args.save_every_steps == 0:
                     self.save_checkpoint()
-                if (args.eval_every_steps and self.eval_fn
+                if (args.eval_every_steps and can_eval
                         and self.step % args.eval_every_steps == 0):
-                    metrics = self.eval_fn(self)
-                    logger.info("eval @ %d: %s", self.step, metrics)
+                    metrics = self.evaluate()
+                    self.metrics.log(metrics, step=self.step)
                 if args.max_steps and self.step >= args.max_steps:
                     self.save_checkpoint()
+                    self.metrics.finish()
                     return losses
         self.save_checkpoint()
+        self.metrics.finish()
         return losses
 
     # ------------------------------------------------------------------

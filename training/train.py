@@ -19,8 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from flamingo_mini_tpu import FlamingoConfig, FlamingoModel, FlamingoProcessor
 from flamingo_mini_tpu.parallel import distributed_init
 from flamingo_mini_tpu.train.data import (
-    CocoCaptionDataset, DataCollator, SyntheticCaptionDataset)
-from flamingo_mini_tpu.train.eval import evaluate_image_captioning
+    CocoCaptionDataset, CocoCaptionEvalDataset, DataCollator,
+    SyntheticCaptionDataset, SyntheticEvalDataset)
 from flamingo_mini_tpu.train.trainer import FlamingoTrainer, TrainingArguments
 
 
@@ -48,8 +48,16 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--xattn-act", default="sqrelu")
     p.add_argument("--coco-root", default=None)
     p.add_argument("--coco-ann-file", default=None)
+    p.add_argument("--coco-val-root", default=None,
+                   help="COCO val images dir (held-out eval; reference "
+                        "training/train.py:160-168 evaluates the val split)")
+    p.add_argument("--coco-val-ann-file", default=None)
     p.add_argument("--synthetic-size", type=int, default=0,
                    help="use a synthetic dataset of this size instead of COCO")
+    p.add_argument("--lm-arch-overrides", default=None,
+                   help="JSON dict of LM arch overrides (tiny smoke runs)")
+    p.add_argument("--vision-arch-overrides", default=None,
+                   help="JSON dict of vision arch overrides")
     p.add_argument("--resume-from-checkpoint", default=None)
     p.add_argument("--coordinator", default=None,
                    help="multi-host coordinator address (host:port)")
@@ -71,10 +79,15 @@ def main():
                                 if k in arg_names})
 
     # the reference's published training config (train.py:149-156)
+    import json
     config = FlamingoConfig(
         lm=ns.lm, clip_model_type=ns.clip_model_type, dim=ns.dim,
         dim_visual=ns.dim_visual, xattn_act=ns.xattn_act,
-        resampler_act=ns.resampler_act, compute_dtype="bfloat16")
+        resampler_act=ns.resampler_act, compute_dtype="bfloat16",
+        lm_arch_overrides=json.loads(ns.lm_arch_overrides)
+        if ns.lm_arch_overrides else None,
+        vision_arch_overrides=json.loads(ns.vision_arch_overrides)
+        if ns.vision_arch_overrides else None)
 
     model = FlamingoModel(config)
     try:
@@ -92,30 +105,24 @@ def main():
 
     if ns.synthetic_size:
         train_ds = SyntheticCaptionDataset(size=ns.synthetic_size)
-        eval_fn = None
+        # held-out synthetic eval set (different seed -> different samples)
+        eval_ds = SyntheticEvalDataset(
+            SyntheticCaptionDataset(size=min(ns.synthetic_size, 64),
+                                    seed=10_000))
     else:
         assert ns.coco_root and ns.coco_ann_file, \
             "pass --coco-root/--coco-ann-file or --synthetic-size"
         train_ds = CocoCaptionDataset(ns.coco_root, ns.coco_ann_file)
-
-        def eval_fn(trainer):
-            trainer.params  # sync trained weights back into the model
-            class _RefDs:
-                def __init__(self, ds):
-                    self.ds = ds
-                def __len__(self):
-                    return len(self.ds.ds)
-                def __getitem__(self, i):
-                    img, caps = self.ds.ds[i]
-                    return img, caps
-            return evaluate_image_captioning(
-                _RefDs(train_ds), trainer.model, processor,
-                prefix=args.eval_coco_captioning_prefix,
-                start=args.eval_coco_captioning_start,
-                end=args.eval_coco_captioning_end)
+        # the reference evaluates the COCO *val* split
+        # (training/train.py:160-168), never the training set
+        eval_ds = None
+        if ns.coco_val_root and ns.coco_val_ann_file:
+            eval_ds = CocoCaptionEvalDataset(ns.coco_val_root,
+                                             ns.coco_val_ann_file)
 
     trainer = FlamingoTrainer(model, args, train_dataset=train_ds,
-                              eval_fn=eval_fn, collator=collator)
+                              eval_dataset=eval_ds, collator=collator,
+                              processor=processor)
     trainer.train(resume_from_checkpoint=ns.resume_from_checkpoint)
     trainer.params
     model.save_pretrained(os.path.join(args.output_dir, "final"))
