@@ -66,8 +66,10 @@ def bench_ours() -> float:
     config = flagship_config()
     params = F.init_flamingo(jax.random.PRNGKey(0), config)
     if os.environ.get("FLAMINGO_BENCH_INT8") == "1":
-        from flamingo_mini_tpu.ops.quant import quantize_gpt2_lm
+        from flamingo_mini_tpu.ops.quant import (quantize_gpt2_lm,
+                                                 quantize_xattn_blocks)
         params["lm"] = quantize_gpt2_lm(params["lm"])
+        params["xattn"] = quantize_xattn_blocks(params["xattn"])
     # inference deployment: store weights bf16 (halves HBM weight streaming)
     from flamingo_mini_tpu.ops.quant import cast_params_bf16
     params = cast_params_bf16(params)
@@ -83,7 +85,10 @@ def bench_ours() -> float:
     lm = params["lm"]
     vocab = int((lm["wte"] if "wte" in lm else lm["wte_q"]["w8"]).shape[0])
     dc = DecodeConfig(max_length=PROMPT_LEN + DECODE_TOKENS,
-                      eos_token_id=vocab + 1, pad_token_id=0)
+                      eos_token_id=vocab + 1, pad_token_id=0,
+                      int8_kv_cache=os.environ.get("FLAMINGO_BENCH_INT8_KV") == "1",
+                      prefix_block=int(os.environ.get(
+                          "FLAMINGO_BENCH_PREFIX_BLOCK", "0")))
 
     # Methodology: remote-attached devices (this sandbox's TPU tunnel) ship
     # input buffers per call and cache same-buffer repeats, so naive wall

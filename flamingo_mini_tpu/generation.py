@@ -56,13 +56,20 @@ class DecodeConfig:
     min_new_tokens: int = 0           # HF MinNewTokensLengthLogitsProcessor
     no_repeat_ngram_size: int = 0     # HF NoRepeatNGramLogitsProcessor
     num_return_sequences: int = 1     # HF: expand batch (sample) / top-n (beam)
+    # TPU decode-performance knobs (both preserve greedy quality in practice;
+    # see BENCH.md): int8 K/V storage halves the per-step cache HBM stream;
+    # prefix_block > 0 splits the decode loop into segments that attend only
+    # the live cache prefix (rounded up to the block) instead of max_length.
+    int8_kv_cache: bool = False
+    prefix_block: int = 0
 
 
-def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype):
+def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype,
+                   int8: bool = False):
     arch = config.lm_arch
     if isinstance(arch, GPT2Arch):
-        return gpt2.init_cache(arch, batch, max_len, dtype)
-    return opt.init_cache(arch, batch, max_len, dtype)
+        return gpt2.init_cache(arch, batch, max_len, dtype, int8=int8)
+    return opt.init_cache(arch, batch, max_len, dtype, int8=int8)
 
 
 def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
@@ -83,9 +90,14 @@ def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
     text_time = jnp.cumsum(media_locations.astype(jnp.int32), axis=-1)
     xattn_kv = flamingo.compute_xattn_kv(params, config,
                                          policy.cast(visual_features), policy=policy)
+    if dc.int8_kv_cache:
+        # decode re-reads the xattn K/V every step; int8 halves that stream
+        from .ops.quant import quantize_kv_pair
+        xattn_kv = {idx: quantize_kv_pair(kv) for idx, kv in xattn_kv.items()}
     hook = flamingo.make_layer_hook(params, config, xattn_kv, text_time, policy=policy)
 
-    cache = _init_lm_cache(config, b, max_len, policy.dtype)
+    cache = _init_lm_cache(config, b, max_len, policy.dtype,
+                           int8=dc.int8_kv_cache)
     # position ids from the attention mask (pads don't advance positions),
     # matching HF generate's prepare for decoder-only models
     pos = jnp.clip(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
@@ -242,31 +254,50 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     # itself); finished rows emit pad from the NEXT step on
     st = write(st, first_tok, L, jnp.zeros((b,), bool))
 
-    def cond(carry):
-        st, cur, finished, _tok, _ = carry
-        return (cur < dc.max_length - 1) & ~jnp.all(finished)
+    def make_body(kv_limit):
+        def body(carry):
+            st, cur, finished, tok, rng = carry
+            logits, cache = flamingo.apply_lm(
+                params, config, tok[:, None], policy=policy,
+                layer_hook=decode_hook, attention_mask=st["mask"],
+                position_ids=st["pos_next"],
+                cache=st["cache"], cache_index=cur, kv_limit=kv_limit)
+            st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
+            # this step fills position cur+1; sequence-so-far length == cur+1
+            step_logits = process_logits(logits[:, -1], dc, st["tokens"],
+                                         st["mask"], cur + 1, L)
+            # key derived from the absolute position being filled (cur+1) —
+            # the prefill pick used fold_in(rng, L) and the loop enters at
+            # cur == L, so fold_in(rng, cur) would reuse that key for the
+            # second token
+            nxt = _select_token(step_logits, dc,
+                                jax.random.fold_in(rng, cur + 1))
+            new_finished = finished | (nxt == dc.eos_token_id)
+            st = write(st, nxt, cur + 1, finished)
+            return st, cur + 1, new_finished, nxt, rng
+        return body
 
-    def body(carry):
-        st, cur, finished, tok, rng = carry
-        logits, cache = flamingo.apply_lm(
-            params, config, tok[:, None], policy=policy,
-            layer_hook=decode_hook, attention_mask=st["mask"],
-            position_ids=st["pos_next"],
-            cache=st["cache"], cache_index=cur)
-        st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
-        # this step fills position cur+1; sequence-so-far length == cur+1
-        step_logits = process_logits(logits[:, -1], dc, st["tokens"],
-                                     st["mask"], cur + 1, L)
-        # key derived from the absolute position being filled (cur+1) — the
-        # prefill pick used fold_in(rng, L) and the loop enters at cur == L,
-        # so fold_in(rng, cur) would reuse that key for the second token
-        nxt = _select_token(step_logits, dc, jax.random.fold_in(rng, cur + 1))
-        new_finished = finished | (nxt == dc.eos_token_id)
-        st = write(st, nxt, cur + 1, finished)
-        return st, cur + 1, new_finished, nxt, rng
-
-    st, cur, finished, _, _ = lax.while_loop(
-        cond, body, (st, jnp.asarray(L, jnp.int32), finished0, first_tok, rng))
+    carry = (st, jnp.asarray(L, jnp.int32), finished0, first_tok, rng)
+    if dc.prefix_block > 0:
+        # Live-prefix segmented decode: steps with cur < seg_end only need
+        # cache slots [0, seg_end), so each segment's attention statically
+        # slices that prefix — average KV traffic drops from max_length to
+        # ~(L + generated/2 + block/2) per step. Segment bounds are static;
+        # early EOS exits every remaining segment loop immediately.
+        seg_ends = list(range(L + dc.prefix_block, dc.max_length - 1,
+                              dc.prefix_block)) + [dc.max_length - 1]
+        for seg_end in seg_ends:
+            def cond_seg(carry, _end=seg_end):
+                _st, cur, finished, _tok, _rng = carry
+                return (cur < _end) & ~jnp.all(finished)
+            carry = lax.while_loop(
+                cond_seg, make_body(min(seg_end, dc.max_length)), carry)
+    else:
+        def cond(carry):
+            _st, cur, finished, _tok, _rng = carry
+            return (cur < dc.max_length - 1) & ~jnp.all(finished)
+        carry = lax.while_loop(cond, make_body(None), carry)
+    st, cur, finished, _, _ = carry
     return st["tokens"], cur + 1
 
 

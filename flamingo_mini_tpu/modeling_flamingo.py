@@ -187,16 +187,21 @@ class FlamingoModel:
         self.params = cast_params_bf16(self.params)
         return self
 
-    def quantize_int8(self) -> "FlamingoModel":
-        """Weight-only int8 quantization of the LM trunk (decode-path
-        weights; ~2x less HBM weight traffic per decode step). In-place;
-        returns self. Not available in float32 parity mode."""
-        from .ops.quant import quantize_gpt2_lm, quantize_opt_lm
+    def quantize_int8(self, include_xattn: bool = True) -> "FlamingoModel":
+        """Weight-only int8 quantization of the decode-path weights (~2x
+        less HBM weight traffic per decode step): the LM trunk and (by
+        default) the gated-xattn blocks, which run every step and at
+        flamingo-mini scale stream about as many weight bytes as the LM.
+        In-place; returns self. Not available in float32 parity mode."""
+        from .ops.quant import (quantize_gpt2_lm, quantize_opt_lm,
+                                quantize_xattn_blocks)
         lm = self.params["lm"]
         if "wte" in lm:
             self.params["lm"] = quantize_gpt2_lm(lm)
         elif "embed_tokens" in lm:
             self.params["lm"] = quantize_opt_lm(lm)
+        if include_xattn and "xattn" in self.params:
+            self.params["xattn"] = quantize_xattn_blocks(self.params["xattn"])
         return self
 
     # -- forward ---------------------------------------------------------
@@ -254,6 +259,8 @@ class FlamingoModel:
         pad_token_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        int8_kv_cache: bool = False,
+        prefix_block: int = 0,
     ) -> jnp.ndarray:
         arch = self.config.lm_arch
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
@@ -266,7 +273,8 @@ class FlamingoModel:
             length_penalty=length_penalty, early_stopping=early_stopping,
             min_length=min_length, min_new_tokens=min_new_tokens,
             no_repeat_ngram_size=no_repeat_ngram_size,
-            num_return_sequences=num_return_sequences)
+            num_return_sequences=num_return_sequences,
+            int8_kv_cache=int8_kv_cache, prefix_block=prefix_block)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy, dc=dc,

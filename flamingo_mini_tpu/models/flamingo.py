@@ -204,22 +204,27 @@ def apply_lm(
     cache=None,
     cache_index=None,
     dropout_rng=None,
+    kv_limit=None,
 ) -> Tuple[jnp.ndarray, Any]:
-    """Run the LM trunk + tied head. Returns (logits, new_cache)."""
+    """Run the LM trunk + tied head. Returns (logits, new_cache).
+
+    ``kv_limit`` (static int): attend only the first kv_limit cache slots —
+    the live-prefix decode optimization (cache writes still land in the full
+    preallocated buffer)."""
     lm_arch = config.lm_arch
     if isinstance(lm_arch, GPT2Arch):
         hidden, new_cache = gpt2.apply_gpt2(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
             position_ids=position_ids, attention_mask=attention_mask,
             layer_hook=layer_hook, cache=cache, cache_index=cache_index,
-            dropout_rng=dropout_rng)
+            dropout_rng=dropout_rng, kv_limit=kv_limit)
         logits = gpt2.lm_head(params["lm"], hidden, policy)
     else:
         hidden, new_cache = opt.apply_opt(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
             position_ids=position_ids, attention_mask=attention_mask,
             layer_hook=layer_hook, cache=cache, cache_index=cache_index,
-            dropout_rng=dropout_rng)
+            dropout_rng=dropout_rng, kv_limit=kv_limit)
         logits = opt.lm_head(params["lm"], hidden, policy)
     return logits, new_cache
 

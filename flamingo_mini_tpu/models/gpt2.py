@@ -63,13 +63,22 @@ def init_gpt2(key, arch: GPT2Arch, extra_tokens: int = 1) -> Params:
     }
 
 
-def init_cache(arch: GPT2Arch, batch: int, max_len: int, dtype) -> Cache:
+def init_cache(arch: GPT2Arch, batch: int, max_len: int, dtype,
+               int8: bool = False) -> Cache:
+    """Preallocated KV cache. ``int8=True`` stores values as int8 with
+    per-position bf16 scales — halves the decode-dominant KV HBM stream."""
     d_head = arch.n_embd // arch.n_head
+    shape = (batch, arch.n_head, max_len, d_head)
+    if int8:
+        return [
+            {"k8": jnp.zeros(shape, jnp.int8),
+             "ks": jnp.zeros(shape[:-1] + (1,), jnp.bfloat16),
+             "v8": jnp.zeros(shape, jnp.int8),
+             "vs": jnp.zeros(shape[:-1] + (1,), jnp.bfloat16)}
+            for _ in range(arch.n_layer)
+        ]
     return [
-        {
-            "k": jnp.zeros((batch, arch.n_head, max_len, d_head), dtype),
-            "v": jnp.zeros((batch, arch.n_head, max_len, d_head), dtype),
-        }
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         for _ in range(arch.n_layer)
     ]
 
@@ -92,6 +101,7 @@ def _self_attention(
     policy: Policy,
     attn_pdrop: float = 0.0,
     dropout_rng=None,
+    kv_limit: Optional[int] = None,   # static: attend only cache[:kv_limit]
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     h = layer_norm(x, bp["ln_1"], eps)
     qkv = linear(h, bp["c_attn"], policy)
@@ -103,9 +113,27 @@ def _self_attention(
 
     new_cache = None
     if layer_cache is not None:
-        k = lax.dynamic_update_slice(layer_cache["k"], k, (0, 0, cache_index, 0))
-        v = lax.dynamic_update_slice(layer_cache["v"], v, (0, 0, cache_index, 0))
-        new_cache = {"k": k, "v": v}
+        if "k8" in layer_cache:
+            from ..ops.quant import dequantize_kv, quantize_kv_write
+            k8, ks = quantize_kv_write(k)
+            v8, vs = quantize_kv_write(v)
+            at = (0, 0, cache_index, 0)
+            new_cache = {
+                "k8": lax.dynamic_update_slice(layer_cache["k8"], k8, at),
+                "ks": lax.dynamic_update_slice(layer_cache["ks"], ks, at),
+                "v8": lax.dynamic_update_slice(layer_cache["v8"], v8, at),
+                "vs": lax.dynamic_update_slice(layer_cache["vs"], vs, at),
+            }
+            lim = slice(None) if kv_limit is None else slice(0, kv_limit)
+            k = dequantize_kv(new_cache["k8"][:, :, lim], new_cache["ks"][:, :, lim], q.dtype)
+            v = dequantize_kv(new_cache["v8"][:, :, lim], new_cache["vs"][:, :, lim], q.dtype)
+        else:
+            k = lax.dynamic_update_slice(layer_cache["k"], k, (0, 0, cache_index, 0))
+            v = lax.dynamic_update_slice(layer_cache["v"], v, (0, 0, cache_index, 0))
+            new_cache = {"k": k, "v": v}
+            if kv_limit is not None:
+                k = k[:, :, :kv_limit]
+                v = v[:, :, :kv_limit]
 
     if layer_cache is None and policy.pallas and dropout_rng is None:
         # full-sequence path -> Pallas fused attention (causal in-kernel,
@@ -139,6 +167,8 @@ def apply_gpt2(
     cache: Optional[Cache] = None,
     cache_index: Optional[jnp.ndarray] = None,     # scalar int32, write offset
     dropout_rng=None,                              # training mode when set
+    kv_limit: Optional[int] = None,    # static live-prefix length: attend only
+                                       # the first kv_limit cache slots
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Run the trunk. Returns final hidden states (b, n, d) and the updated
     cache (None when not caching).
@@ -165,7 +195,8 @@ def apply_gpt2(
         x = _dropout(x, arch.embd_pdrop, jax.random.fold_in(dropout_rng, 10_000))
 
     if cache is not None:
-        n_kv = cache[0]["k"].shape[2]
+        buf = cache[0]["k8" if "k8" in cache[0] else "k"]
+        n_kv = buf.shape[2] if kv_limit is None else kv_limit
         q_pos = cache_index + jnp.arange(n, dtype=jnp.int32)           # (n,)
         kv_pos = jnp.arange(n_kv, dtype=jnp.int32)                      # (n_kv,)
         causal = (kv_pos[None, :] <= q_pos[:, None])[None, None]        # (1,1,n,n_kv)
@@ -176,7 +207,9 @@ def apply_gpt2(
     pad_bias = None
     if attention_mask is not None:
         neg = jnp.finfo(jnp.float32).min
-        pad_bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
+        am = attention_mask if attention_mask.shape[-1] == n_kv \
+            else attention_mask[:, :n_kv]
+        pad_bias = jnp.where(am[:, None, None, :].astype(bool),
                              0.0, neg).astype(policy.dtype)
 
     new_cache: Optional[Cache] = [] if cache is not None else None
@@ -196,6 +229,7 @@ def apply_gpt2(
             policy=policy,
             attn_pdrop=arch.attn_pdrop,
             dropout_rng=None if rng_i is None else jax.random.fold_in(rng_i, 0),
+            kv_limit=kv_limit,
         )
         if rng_i is not None:
             attn_out = _dropout(attn_out, arch.resid_pdrop,

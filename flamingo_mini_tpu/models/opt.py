@@ -63,13 +63,20 @@ def init_opt(key, arch: OPTArch, extra_tokens: int = 1) -> Params:
     return p
 
 
-def init_cache(arch: OPTArch, batch: int, max_len: int, dtype) -> Cache:
+def init_cache(arch: OPTArch, batch: int, max_len: int, dtype,
+               int8: bool = False) -> Cache:
     d_head = arch.hidden_size // arch.num_attention_heads
+    shape = (batch, arch.num_attention_heads, max_len, d_head)
+    if int8:
+        return [
+            {"k8": jnp.zeros(shape, jnp.int8),
+             "ks": jnp.zeros(shape[:-1] + (1,), jnp.bfloat16),
+             "v8": jnp.zeros(shape, jnp.int8),
+             "vs": jnp.zeros(shape[:-1] + (1,), jnp.bfloat16)}
+            for _ in range(arch.num_hidden_layers)
+        ]
     return [
-        {
-            "k": jnp.zeros((batch, arch.num_attention_heads, max_len, d_head), dtype),
-            "v": jnp.zeros((batch, arch.num_attention_heads, max_len, d_head), dtype),
-        }
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         for _ in range(arch.num_hidden_layers)
     ]
 
@@ -93,16 +100,19 @@ def apply_opt(
     cache: Optional[Cache] = None,
     cache_index: Optional[jnp.ndarray] = None,
     dropout_rng=None,                              # training mode when set
+    kv_limit: Optional[int] = None,    # static live-prefix length
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Returns (hidden (b, n, word_embed_proj_dim), updated cache)."""
     b, n = input_ids.shape
     if cache is not None:
-        n_kv = cache[0]["k"].shape[2]
+        buf = cache[0]["k8" if "k8" in cache[0] else "k"]
+        n_full = buf.shape[2]
+        n_kv = n_full if kv_limit is None else kv_limit
     else:
-        n_kv = n
+        n_full = n_kv = n
 
     if attention_mask is None:
-        attention_mask = jnp.ones((b, n_kv), jnp.int32)
+        attention_mask = jnp.ones((b, n_full), jnp.int32)
     if position_ids is None:
         pos_full = opt_position_ids(attention_mask)  # (b, n_kv) or (b, n)
         if cache is not None:
@@ -130,7 +140,9 @@ def apply_opt(
         causal = (kv_pos[None, :] <= q_pos[:, None])[None, None]
     else:
         causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
-    pad_ok = attention_mask[:, None, None, :].astype(bool)
+    am = attention_mask if attention_mask.shape[-1] == n_kv \
+        else attention_mask[:, :n_kv]
+    pad_ok = am[:, None, None, :].astype(bool)
     bias = jnp.where(causal & pad_ok, 0.0, neg).astype(policy.dtype)
 
     n_head = arch.num_attention_heads
@@ -150,9 +162,29 @@ def apply_opt(
         v = split_heads(linear(h, bp["v_proj"], policy), n_head)
         layer_kv = None
         if cache is not None:
-            k = lax.dynamic_update_slice(cache[i]["k"], k, (0, 0, cache_index, 0))
-            v = lax.dynamic_update_slice(cache[i]["v"], v, (0, 0, cache_index, 0))
-            layer_kv = {"k": k, "v": v}
+            if "k8" in cache[i]:
+                from ..ops.quant import dequantize_kv, quantize_kv_write
+                k8, ks = quantize_kv_write(k)
+                v8, vs = quantize_kv_write(v)
+                at = (0, 0, cache_index, 0)
+                layer_kv = {
+                    "k8": lax.dynamic_update_slice(cache[i]["k8"], k8, at),
+                    "ks": lax.dynamic_update_slice(cache[i]["ks"], ks, at),
+                    "v8": lax.dynamic_update_slice(cache[i]["v8"], v8, at),
+                    "vs": lax.dynamic_update_slice(cache[i]["vs"], vs, at),
+                }
+                lim = slice(None) if kv_limit is None else slice(0, kv_limit)
+                k = dequantize_kv(layer_kv["k8"][:, :, lim],
+                                  layer_kv["ks"][:, :, lim], q.dtype)
+                v = dequantize_kv(layer_kv["v8"][:, :, lim],
+                                  layer_kv["vs"][:, :, lim], q.dtype)
+            else:
+                k = lax.dynamic_update_slice(cache[i]["k"], k, (0, 0, cache_index, 0))
+                v = lax.dynamic_update_slice(cache[i]["v"], v, (0, 0, cache_index, 0))
+                layer_kv = {"k": k, "v": v}
+                if kv_limit is not None:
+                    k = k[:, :, :kv_limit]
+                    v = v[:, :, :kv_limit]
         rng_i = None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
         if cache is None and policy.pallas and rng_i is None:
             from ..ops.pallas_attn import fused_attention

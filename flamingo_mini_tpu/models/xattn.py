@@ -77,8 +77,18 @@ def apply_masked_xattn(
     dim_head: int,
     policy: Policy,
 ) -> jnp.ndarray:
-    """Returns conditioned tokens (b, n_token, dim)."""
-    k, v = kv
+    """Returns conditioned tokens (b, n_token, dim).
+
+    ``kv`` is either the (k, v) tuple from compute_visual_kv or its int8
+    form from ops.quant.quantize_kv_pair (decode reads it every step; int8
+    halves that HBM stream)."""
+    if isinstance(kv, dict):
+        from ..ops.quant import dequantize_kv
+        dt = y.dtype
+        k = dequantize_kv(kv["k8"], kv["ks"], dt)
+        v = dequantize_kv(kv["v8"], kv["vs"], dt)
+    else:
+        k, v = kv
     n_media = k.shape[2] // n_visual
 
     y_n = layer_norm(y, p["norm"])

@@ -93,6 +93,56 @@ def quantize_gpt2_lm(lm: Params) -> Params:
     return out
 
 
+def quantize_ffw(f: Params) -> Params:
+    return {"norm": f["norm"], "fc1": quantize_linear(f["fc1"]),
+            "fc2": quantize_linear(f["fc2"])}
+
+
+def quantize_xattn_blocks(xattn: Params) -> Params:
+    """Quantize the gated-xattn blocks' linears. These run EVERY decode step
+    (one per hijacked LM layer), so at flamingo-mini scale their weight
+    streaming (~12M params/block) rivals the LM trunk's."""
+    out = {}
+    for idx, blk in xattn.items():
+        a = blk["attn"]
+        out[idx] = {
+            "attn": {"norm": a["norm"], "to_q": quantize_linear(a["to_q"]),
+                     "to_kv": quantize_linear(a["to_kv"]),
+                     "to_out": quantize_linear(a["to_out"])},
+            "alpha_attn": blk["alpha_attn"],
+            "ffw": quantize_ffw(blk["ffw"]),
+            "alpha_ffw": blk["alpha_ffw"],
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# int8 KV (activation) quantization — decode reads the whole KV cache every
+# step, so int8 storage halves the dominant HBM stream at long max_length.
+# Per-position symmetric scales over the head dim (absmax/127).
+# ---------------------------------------------------------------------------
+
+
+def quantize_kv_write(x: jnp.ndarray):
+    """(..., n, d) -> (int8 values, per-position scales (..., n, 1) bf16)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return x8, s.astype(jnp.bfloat16)
+
+
+def dequantize_kv(x8: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (x8.astype(dtype) * s.astype(dtype))
+
+
+def quantize_kv_pair(kv):
+    """(k, v) -> {"k8","ks","v8","vs"} (e.g. the per-sequence xattn K/V)."""
+    k, v = kv
+    k8, ks = quantize_kv_write(k)
+    v8, vs = quantize_kv_write(v)
+    return {"k8": k8, "ks": ks, "v8": v8, "vs": vs}
+
+
 def quantize_opt_lm(lm: Params) -> Params:
     out = dict(lm)
     out["embed_tokens_q"] = quantize_weight(lm["embed_tokens"], axis=1)

@@ -74,6 +74,77 @@ def test_quantized_model_generates_similar():
     assert np.isfinite(float(out.loss))
 
 
+def test_int8_kv_cache_next_logits_close():
+    """Prefill with an int8 KV cache: the next-token logits must match the
+    fp cache within per-position int8 error (~1/127 of absmax)."""
+    from flamingo_mini_tpu.generation import _prefill
+    from flamingo_mini_tpu.models import flamingo as F
+    from dataclasses import replace
+
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    rs = np.random.RandomState(4)
+    b, n = 2, 6
+    ids = jnp.asarray(rs.randint(0, 200, (b, n)), jnp.int32)
+    ml = jnp.zeros((b, n), jnp.int32).at[:, 0].set(1)
+    am = jnp.ones((b, n), jnp.int32)
+    vf = jnp.asarray(rs.randn(b, 1, cfg.resampler_num_latents, cfg.dim_visual),
+                     jnp.float32)
+    dc = DecodeConfig(max_length=12, eos_token_id=999, pad_token_id=0)
+    logits_fp, _, _ = _prefill(model.params, cfg, dc, PARITY, ids, ml, am, vf)
+    dc8 = replace(dc, int8_kv_cache=True)
+    logits_q8, _, st = _prefill(model.params, cfg, dc8, PARITY, ids, ml, am, vf)
+    assert "k8" in st["cache"][0]
+    err = float(jnp.max(jnp.abs(logits_fp - logits_q8)))
+    ref = float(jnp.max(jnp.abs(logits_fp)))
+    assert err < 0.05 * ref + 0.05, (err, ref)
+
+
+def test_prefix_block_decode_exact():
+    """Live-prefix segmented decode is a pure layout optimization: greedy
+    tokens must EXACTLY equal the full-cache path (masked slots carry zero
+    softmax weight either way)."""
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    rs = np.random.RandomState(5)
+    ids = rs.randint(0, 200, (2, 5))
+    ml = np.zeros((2, 5), np.int32)
+    ml[:, 0] = 1
+    px = rs.randn(2, 1, 3, 32, 32).astype(np.float32)
+    kw = dict(media_locations=ml, pixel_values=px, max_length=24,
+              eos_token_id=999, pad_token_id=0)
+    full = np.asarray(model.generate(ids, **kw))
+    seg = np.asarray(model.generate(ids, prefix_block=8, **kw))
+    np.testing.assert_array_equal(full, seg)
+
+
+def test_prefix_block_with_int8_kv_and_weights():
+    """The combined fast-decode deployment (int8 weights + int8 KV +
+    live-prefix) runs and stays in-vocab."""
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0)).quantize_int8()
+    rs = np.random.RandomState(6)
+    ids = rs.randint(0, 200, (2, 5))
+    px = rs.randn(2, 1, 3, 32, 32).astype(np.float32)
+    ml = np.zeros((2, 5), np.int32)
+    ml[:, 0] = 1
+    out = np.asarray(model.generate(
+        ids, media_locations=ml, pixel_values=px, max_length=24,
+        eos_token_id=999, pad_token_id=0, int8_kv_cache=True, prefix_block=8))
+    assert out.shape == (2, 24)
+    assert ((0 <= out) & (out < 257)).all()
+
+
+def test_int8_kv_beam_runs():
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    rs = np.random.RandomState(7)
+    ids = rs.randint(0, 200, (1, 4))
+    out = model.generate(ids, max_length=10, num_beams=3, eos_token_id=999,
+                         pad_token_id=0, int8_kv_cache=True)
+    assert np.asarray(out).shape == (1, 10)
+
+
 def test_quantized_beam_runs():
     cfg = tiny_config()
     model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0)).quantize_int8()
