@@ -142,10 +142,20 @@ class FlamingoProcessor:
         return [self._remove_tags(t) for t in text]
 
     # -- images ----------------------------------------------------------
-    def preprocess_images(self, images) -> jnp.ndarray:
-        """PIL images / HWC arrays -> (n, 3, H, W) CLIP-normalized pixels."""
+    def preprocess_images(self, images, exact: bool = False) -> jnp.ndarray:
+        """PIL images / HWC arrays -> (n, 3, H, W) CLIP-normalized pixels.
+
+        ``exact=True`` routes through the host-side PIL pipeline that is
+        bit-for-bit identical to the reference's CLIPImageProcessor (use for
+        reference-checkpoint token parity from image files); the default is
+        the on-device XLA pipeline."""
         if not isinstance(images, (list, tuple)):
             images = [images]
+        if exact:
+            from .ops.image import preprocess_images_pil
+            return jnp.asarray(preprocess_images_pil(
+                images, size=self._image_size, crop=self._image_size,
+                mean=self._image_mean, std=self._image_std))
         return _preprocess_images(
             images, size=self._image_size, crop=self._image_size,
             mean=self._image_mean, std=self._image_std)

@@ -58,6 +58,56 @@ def normalize(x: jnp.ndarray,
     return (x - mean_a) / std_a
 
 
+def preprocess_images_pil(
+    images: Sequence,
+    *,
+    size: int = 224,
+    crop: int = 224,
+    mean: Tuple[float, ...] = CLIP_MEAN,
+    std: Tuple[float, ...] = CLIP_STD,
+) -> np.ndarray:
+    """Host-side PIL-EXACT preprocessing (opt-in parity path).
+
+    Bit-for-bit identical to ``CLIPImageProcessor`` (the reference's pixel
+    pipeline, flamingo_processor.py:33,123-128): PIL bicubic resize of the
+    shortest edge, center crop, *1/255 rescale, float32 normalize. Use this
+    when decoding from image FILES must reproduce reference-checkpoint
+    tokens exactly; the XLA pipeline (preprocess_images) is the production
+    default (~1e-2 off PIL's antialias window, irrelevant to quality).
+
+    Returns a numpy (n, 3, crop, crop) float32 batch.
+    """
+    from PIL import Image
+
+    out = []
+    for im in images:
+        if not hasattr(im, "convert"):
+            arr = np.asarray(im)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            im = Image.fromarray(arr.astype(np.uint8))
+        im = im.convert("RGB")
+        w, h = im.size
+        # HF get_resize_output_image_size(default_to_square=False):
+        # new_long = int(size * long / short)
+        short, long = (w, h) if w <= h else (h, w)
+        new_short, new_long = size, int(size * long / short)
+        nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+        im = im.resize((nw, nh), resample=Image.BICUBIC)
+        arr = np.asarray(im)                                  # (nh, nw, 3) u8
+        top = (nh - crop) // 2
+        left = (nw - crop) // 2
+        arr = arr[top:top + crop, left:left + crop]
+        # HF rescale: float multiply then astype(float32)
+        x = (arr * (1.0 / 255.0)).astype(np.float32)
+        # HF normalize: channels-last, mean/std cast to image dtype
+        m = np.array(mean, dtype=x.dtype)
+        s = np.array(std, dtype=x.dtype)
+        x = (x - m) / s
+        out.append(x.transpose(2, 0, 1))                      # channel-first
+    return np.stack(out)
+
+
 def preprocess_images(
     images: Sequence,
     *,

