@@ -218,7 +218,11 @@ class FlamingoModel:
         visual_features=None,
         labels=None,
         loss_reduction: str = "mean",
+        context_mesh=None,
     ) -> F.FlamingoOutput:
+        """``context_mesh``: route LM self-attention through ring attention
+        (context parallelism for long sequences; causal-only, so
+        attention_mask must be None)."""
         return F.forward(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy,
@@ -226,7 +230,8 @@ class FlamingoModel:
             attention_mask=_maybe(attention_mask),
             pixel_values=_maybe(pixel_values),
             visual_features=_maybe(visual_features),
-            labels=_maybe(labels), loss_reduction=loss_reduction)
+            labels=_maybe(labels), loss_reduction=loss_reduction,
+            context_mesh=context_mesh)
 
     def encode_resample_visuals(self, pixel_values) -> jnp.ndarray:
         return F.encode_resample_visuals(

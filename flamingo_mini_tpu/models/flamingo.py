@@ -205,26 +205,34 @@ def apply_lm(
     cache_index=None,
     dropout_rng=None,
     kv_limit=None,
+    context_mesh=None,
+    context_axis: str = "data",
 ) -> Tuple[jnp.ndarray, Any]:
     """Run the LM trunk + tied head. Returns (logits, new_cache).
 
     ``kv_limit`` (static int): attend only the first kv_limit cache slots —
     the live-prefix decode optimization (cache writes still land in the full
-    preallocated buffer)."""
+    preallocated buffer).
+    ``context_mesh``: route self-attention through ring attention with the
+    sequence sharded over ``context_axis`` (context parallelism for
+    sequences whose O(n^2) score matrix won't fit one device; causal-only,
+    so attention_mask must be None)."""
     lm_arch = config.lm_arch
     if isinstance(lm_arch, GPT2Arch):
         hidden, new_cache = gpt2.apply_gpt2(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
             position_ids=position_ids, attention_mask=attention_mask,
             layer_hook=layer_hook, cache=cache, cache_index=cache_index,
-            dropout_rng=dropout_rng, kv_limit=kv_limit)
+            dropout_rng=dropout_rng, kv_limit=kv_limit,
+            ring_mesh=context_mesh, ring_axis=context_axis)
         logits = gpt2.lm_head(params["lm"], hidden, policy)
     else:
         hidden, new_cache = opt.apply_opt(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
             position_ids=position_ids, attention_mask=attention_mask,
             layer_hook=layer_hook, cache=cache, cache_index=cache_index,
-            dropout_rng=dropout_rng, kv_limit=kv_limit)
+            dropout_rng=dropout_rng, kv_limit=kv_limit,
+            ring_mesh=context_mesh, ring_axis=context_axis)
         logits = opt.lm_head(params["lm"], hidden, policy)
     return logits, new_cache
 
@@ -242,6 +250,8 @@ def forward(
     labels: Optional[jnp.ndarray] = None,
     loss_reduction: str = "mean",
     dropout_rng=None,   # enables the frozen trunk's training-mode dropout
+    context_mesh=None,  # ring-attention context parallelism (see apply_lm)
+    context_axis: str = "data",
 ) -> FlamingoOutput:
     """Full (uncached) Flamingo forward pass — training / scoring path.
 
@@ -270,7 +280,8 @@ def forward(
 
     logits, _ = apply_lm(
         params, config, input_ids, policy=policy, layer_hook=hook,
-        attention_mask=attention_mask, dropout_rng=dropout_rng)
+        attention_mask=attention_mask, dropout_rng=dropout_rng,
+        context_mesh=context_mesh, context_axis=context_axis)
 
     loss = None
     if labels is not None:

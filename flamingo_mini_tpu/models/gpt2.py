@@ -102,6 +102,8 @@ def _self_attention(
     attn_pdrop: float = 0.0,
     dropout_rng=None,
     kv_limit: Optional[int] = None,   # static: attend only cache[:kv_limit]
+    ring_mesh=None,                   # context parallelism: shard the seq dim
+    ring_axis: str = "data",
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     h = layer_norm(x, bp["ln_1"], eps)
     qkv = linear(h, bp["c_attn"], policy)
@@ -135,7 +137,14 @@ def _self_attention(
                 k = k[:, :, :kv_limit]
                 v = v[:, :, :kv_limit]
 
-    if layer_cache is None and policy.pallas and dropout_rng is None:
+    if layer_cache is None and ring_mesh is not None:
+        # context parallelism: exact causal attention with the sequence
+        # sharded over the mesh axis (parallel/ring_attention.py) — the
+        # O(n^2) score matrix lives chunked per device
+        from ..parallel.ring_attention import ring_attention
+        out = ring_attention(q, k, v, mesh=ring_mesh, axis_name=ring_axis,
+                             scale=1.0 / (d_head ** 0.5))
+    elif layer_cache is None and policy.pallas and dropout_rng is None:
         # full-sequence path -> Pallas fused attention (causal in-kernel,
         # padding as a per-batch row bias); dropout forces the XLA path
         from ..ops.pallas_attn import fused_attention
@@ -169,6 +178,9 @@ def apply_gpt2(
     dropout_rng=None,                              # training mode when set
     kv_limit: Optional[int] = None,    # static live-prefix length: attend only
                                        # the first kv_limit cache slots
+    ring_mesh=None,                    # context-parallel self-attention: shard
+                                       # the sequence over this mesh's axis
+    ring_axis: str = "data",
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Run the trunk. Returns final hidden states (b, n, d) and the updated
     cache (None when not caching).
@@ -206,6 +218,10 @@ def apply_gpt2(
 
     pad_bias = None
     if attention_mask is not None:
+        if ring_mesh is not None:
+            raise ValueError(
+                "ring (context-parallel) attention is causal-only; pass "
+                "attention_mask=None (use unpadded sequences)")
         neg = jnp.finfo(jnp.float32).min
         am = attention_mask if attention_mask.shape[-1] == n_kv \
             else attention_mask[:, :n_kv]
@@ -230,6 +246,8 @@ def apply_gpt2(
             attn_pdrop=arch.attn_pdrop,
             dropout_rng=None if rng_i is None else jax.random.fold_in(rng_i, 0),
             kv_limit=kv_limit,
+            ring_mesh=ring_mesh,
+            ring_axis=ring_axis,
         )
         if rng_i is not None:
             attn_out = _dropout(attn_out, arch.resid_pdrop,

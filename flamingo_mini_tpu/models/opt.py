@@ -101,6 +101,8 @@ def apply_opt(
     cache_index: Optional[jnp.ndarray] = None,
     dropout_rng=None,                              # training mode when set
     kv_limit: Optional[int] = None,    # static live-prefix length
+    ring_mesh=None,                    # context-parallel self-attention
+    ring_axis: str = "data",
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Returns (hidden (b, n, word_embed_proj_dim), updated cache)."""
     b, n = input_ids.shape
@@ -111,6 +113,10 @@ def apply_opt(
     else:
         n_full = n_kv = n
 
+    if ring_mesh is not None and attention_mask is not None:
+        raise ValueError(
+            "ring (context-parallel) attention is causal-only; pass "
+            "attention_mask=None (use unpadded sequences)")
     if attention_mask is None:
         attention_mask = jnp.ones((b, n_full), jnp.int32)
     if position_ids is None:
@@ -186,7 +192,11 @@ def apply_opt(
                     k = k[:, :, :kv_limit]
                     v = v[:, :, :kv_limit]
         rng_i = None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
-        if cache is None and policy.pallas and rng_i is None:
+        if cache is None and ring_mesh is not None:
+            from ..parallel.ring_attention import ring_attention
+            out = ring_attention(q, k, v, mesh=ring_mesh, axis_name=ring_axis,
+                                 scale=scale)
+        elif cache is None and policy.pallas and rng_i is None:
             from ..ops.pallas_attn import fused_attention
             row = jnp.where(attention_mask.astype(bool), 0.0, neg
                             ).astype(policy.dtype)
