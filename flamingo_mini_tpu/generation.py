@@ -55,6 +55,10 @@ class DecodeConfig:
     min_length: int = 0               # HF MinLengthLogitsProcessor
     min_new_tokens: int = 0           # HF MinNewTokensLengthLogitsProcessor
     no_repeat_ngram_size: int = 0     # HF NoRepeatNGramLogitsProcessor
+    # HF NoBadWordsLogitsProcessor: tuple of token-id tuples (hashable so the
+    # config stays a valid jit static arg); lists are normalized by
+    # FlamingoModel.generate
+    bad_words_ids: Optional[tuple] = None
     num_return_sequences: int = 1     # HF: expand batch (sample) / top-n (beam)
     # TPU decode-performance knobs (both preserve greedy quality in practice;
     # see BENCH.md): int8 K/V storage halves the per-step cache HBM stream;
@@ -194,11 +198,39 @@ def _no_repeat_ngram(logits, tokens, idx, n: int):
     return jnp.where(banned, neg, logits)
 
 
+def _ban_bad_words(logits, tokens, idx, words):
+    """HF NoBadWordsLogitsProcessor: a bad word ``w`` (a token-id sequence)
+    bans its final token whenever the sequence so far ends with ``w[:-1]``;
+    single-token words are banned unconditionally. ``words`` is a static
+    tuple of tuples, so the (small) loop unrolls at trace time."""
+    b, _ = tokens.shape
+    neg = jnp.finfo(jnp.float32).min
+    vocab = logits.shape[-1]
+    banned = jnp.zeros((b, vocab), bool)
+    for w in words:
+        n = len(w)
+        if n == 0:
+            continue
+        last = int(w[-1])
+        if last >= vocab:
+            continue
+        if n == 1:
+            banned = banned.at[:, last].set(True)
+            continue
+        prefix = jnp.asarray(w[:-1], jnp.int32)[None, :]        # (1, n-1)
+        suffix = lax.dynamic_slice(
+            tokens, (jnp.asarray(0, idx.dtype), idx - (n - 1)), (b, n - 1))
+        match = jnp.all(suffix == prefix, axis=-1) & (idx >= n - 1)
+        banned = banned.at[:, last].max(match)
+    return jnp.where(banned, neg, logits)
+
+
 def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
                    prompt_len: int):
     """The HF logits-processor chain in HF's order (repetition penalty ->
-    no-repeat-ngram -> min-length), applied to (b, V) next-token logits.
-    ``idx`` = length of the sequence so far = the position being filled."""
+    no-repeat-ngram -> bad-words -> min-length), applied to (b, V) next-token
+    logits. ``idx`` = length of the sequence so far = the position being
+    filled."""
     logits = logits.astype(jnp.float32)
     if dc.repetition_penalty != 1.0:
         logits = _repetition_penalty(logits, tokens, mask,
@@ -206,6 +238,8 @@ def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
     if dc.no_repeat_ngram_size > 0:
         logits = _no_repeat_ngram(logits, tokens, idx,
                                   dc.no_repeat_ngram_size)
+    if dc.bad_words_ids:
+        logits = _ban_bad_words(logits, tokens, idx, dc.bad_words_ids)
     if dc.min_length > 0 or dc.min_new_tokens > 0:
         logits = _ban_eos_while_short(logits, dc, idx, prompt_len)
     return logits

@@ -19,6 +19,7 @@ Weight sources for ``from_pretrained``:
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Dict, List, Optional
 
@@ -33,6 +34,8 @@ from .models import flamingo as F
 from .ops.layers import Policy, policy_for
 from .scoring import score_sequences as _score_sequences
 from .utils import params as param_utils
+
+logger = logging.getLogger(__name__)
 from .utils.hf_weights import convert_flamingo, convert_clip_vit, state_dict_to_numpy
 
 Params = Dict[str, Any]
@@ -104,11 +107,43 @@ class FlamingoModel:
         return any(lm_id.startswith(p) for p in cls._LANGUAGE_MODEL_PREFIXES)
 
     # -- persistence -----------------------------------------------------
-    def save_pretrained(self, path: str) -> None:
+    def save_pretrained(self, path: str, *, save_format: str = "npz") -> None:
+        """Write config + weights to ``path``.
+
+        ``save_format``: ``"npz"`` (native flat pytree), ``"hf"``
+        (reference-layout ``flamingo.*`` state dict, vision excluded, loadable
+        by the torch reference; modeling_flamingo.py:376 convention), or
+        ``"both"``."""
+        if save_format not in ("npz", "hf", "both"):
+            raise ValueError(f"unknown save_format {save_format!r}")
         os.makedirs(path, exist_ok=True)
         self.config.save_pretrained(path)
-        np.savez(os.path.join(path, "flamingo_tpu.npz"),
-                 **flatten_tree(self.params))
+        if save_format in ("npz", "both"):
+            np.savez(os.path.join(path, "flamingo_tpu.npz"),
+                     **flatten_tree(self.params))
+        if save_format in ("hf", "both"):
+            from .utils.hf_export import export_flamingo, save_hf_checkpoint
+            state = export_flamingo(self.params, self.config.xattn_every)
+            save_hf_checkpoint(state, path)
+
+    def push_to_hub(self, repo_id: str, *, save_format: str = "both") -> str:
+        """Reference-API parity for ``PreTrainedModel.push_to_hub``
+        (README.md:33). Zero-egress design: the checkpoint is staged into the
+        local HF cache layout (``$HF_HOME/hub/models--org--name/snapshots``)
+        so ``from_pretrained(repo_id)`` resolves it like any hub model; if
+        ``huggingface_hub`` is importable AND the network is reachable, the
+        staged snapshot is also uploaded. Returns the staged snapshot dir."""
+        from .utils.hub import stage_into_cache
+        snap = stage_into_cache(repo_id, save=lambda d: self.save_pretrained(
+            d, save_format=save_format))
+        try:
+            from huggingface_hub import HfApi
+            HfApi().upload_folder(folder_path=snap, repo_id=repo_id,
+                                  repo_type="model")
+        except Exception as e:  # offline / no token / package absent
+            logger.info("hub upload skipped (%s); checkpoint staged at %s",
+                        e, snap)
+        return snap
 
     @classmethod
     def from_pretrained(cls, path: str, *, config: Optional[FlamingoConfig] = None,
@@ -259,6 +294,7 @@ class FlamingoModel:
         min_length: int = 0,
         min_new_tokens: int = 0,
         no_repeat_ngram_size: int = 0,
+        bad_words_ids=None,
         num_return_sequences: int = 1,
         eos_token_id: Optional[int] = None,
         pad_token_id: Optional[int] = None,
@@ -278,6 +314,8 @@ class FlamingoModel:
             length_penalty=length_penalty, early_stopping=early_stopping,
             min_length=min_length, min_new_tokens=min_new_tokens,
             no_repeat_ngram_size=no_repeat_ngram_size,
+            bad_words_ids=None if bad_words_ids is None else tuple(
+                tuple(int(t) for t in w) for w in bad_words_ids),
             num_return_sequences=num_return_sequences,
             int8_kv_cache=int8_kv_cache, prefix_block=prefix_block)
         return _generate(

@@ -78,3 +78,29 @@ def resolve_checkpoint_dir(
             f"cached — e.g. via `huggingface-cli download {path_or_id}` on a "
             f"networked machine)")
     raise FileNotFoundError(f"no such checkpoint directory: {path_or_id!r}")
+
+
+def stage_into_cache(repo_id: str, save) -> str:
+    """Write a checkpoint into the local HF cache layout for ``repo_id``.
+
+    ``save`` is a callable that writes the checkpoint files into a directory.
+    Creates ``models--org--name/snapshots/local-{n}`` and points
+    ``refs/main`` at it, so ``resolve_checkpoint_dir(repo_id)`` (and hence
+    ``from_pretrained(repo_id)``) finds it. Returns the snapshot dir."""
+    if not _HUB_ID_RE.match(repo_id):
+        raise ValueError(f"not a valid hub repo id: {repo_id!r}")
+    model_dir = os.path.join(
+        hf_hub_dir(), "models--" + repo_id.replace("/", "--"))
+    snaps = os.path.join(model_dir, "snapshots")
+    os.makedirs(snaps, exist_ok=True)
+    n = 0
+    while os.path.exists(os.path.join(snaps, f"local-{n}")):
+        n += 1
+    snap = os.path.join(snaps, f"local-{n}")
+    os.makedirs(snap)
+    save(snap)
+    refs = os.path.join(model_dir, "refs")
+    os.makedirs(refs, exist_ok=True)
+    with open(os.path.join(refs, "main"), "w") as f:
+        f.write(f"local-{n}")
+    return snap

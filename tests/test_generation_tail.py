@@ -89,6 +89,49 @@ def test_no_repeat_ngram_matches_hf(gpt2_pair):
     assert not np.array_equal(plain, got)
 
 
+def test_bad_words_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 20
+    rs = np.random.RandomState(3)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    # ban the first two greedy continuations: a 1-token word and a 2-token
+    # word built from the plain greedy output, so the constraint binds
+    plain = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                         eos_token_id=128, pad_token_id=128)
+    bad = [[int(plain[0, n])], [int(plain[1, n]), int(plain[1, n + 1])]]
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        bad_words_ids=bad, eos_token_id=128, pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128,
+                      bad_words_ids=tuple(tuple(w) for w in bad))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+    assert not np.array_equal(plain, want)  # the ban actually changed output
+
+
+def test_beam_bad_words_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 16
+    rs = np.random.RandomState(5)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    plain = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                         num_beams=3, early_stopping=True, eos_token_id=128,
+                         pad_token_id=128)
+    bad = [[int(plain[0, n])], [int(plain[1, n]), int(plain[1, n + 1])]]
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        num_beams=3, early_stopping=True, bad_words_ids=bad,
+                        eos_token_id=128, pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, num_beams=3,
+                      bad_words_ids=tuple(tuple(w) for w in bad))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
 def test_min_new_tokens_matches_hf(gpt2_pair):
     m, params, config = gpt2_pair
     b, n, max_length = 2, 4, 18
