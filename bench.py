@@ -124,6 +124,9 @@ def bench_ours() -> float:
 
     t1, t2 = timed(1), timed(2)
     marginal = t2 - t1
+    if os.environ.get("FLAMINGO_BENCH_DEBUG") == "1":
+        print(f"[debug] t1={t1:.4f}s t2={t2:.4f}s marginal={marginal:.4f}s",
+              file=sys.stderr)
     # marginal is the honest per-decode device time; fall back to the
     # conservative end-to-end when the subtraction is untrustworthy
     best = marginal if marginal > 0.25 * t1 else t1

@@ -98,8 +98,14 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     heur_unsat = jnp.ones((b,), bool)
     top_mask = jnp.arange(k2) < k                    # rank < k
 
-    def step_update(state, logp_bkV, cur):
-        """Fill position ``cur`` from per-beam log-probs (b, k, V)."""
+    def step_update(state, logp_bkV, cur, lim=None):
+        """Fill position ``cur`` from per-beam log-probs (b, k, V).
+
+        ``lim`` (static): only cache slots [0, lim) can have been written so
+        far, so the per-step beam reorder gathers just that prefix and leaves
+        the (all-zero, beam-identical) tail in place — with ``prefix_block``
+        segmentation this cuts the dominant beam cost, the full-cache
+        gather, to the live prefix."""
         (tokens, mask_buf, cache, run_scores,
          fin_seq, fin_scores, fin_flags, heur_unsat) = state
 
@@ -134,8 +140,14 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         run_tok = jnp.take_along_axis(tok, run_idx, axis=1)
 
         tokens = _gather_beams(tokens, run_parent, b, k)
-        cache_new = jax.tree_util.tree_map(
-            lambda x: _gather_beams(x, run_parent, b, k), cache)
+
+        def gather_cache_leaf(x):
+            if lim is None or lim >= x.shape[2]:
+                return _gather_beams(x, run_parent, b, k)
+            head = _gather_beams(x[:, :, :lim], run_parent, b, k)
+            return lax.dynamic_update_slice(x, head, (0, 0, 0, 0))
+
+        cache_new = jax.tree_util.tree_map(gather_cache_leaf, cache)
         tokens = tokens.reshape(b, k, max_len).at[:, :, cur].set(run_tok)\
                        .reshape(b * k, max_len)
         mask_buf = mask_buf.at[:, cur].set(1)
@@ -181,42 +193,60 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
 
     # ---- fill position L from the (shared) prefill logits ------------------
     from .generation import process_logits
+    pb = dc.prefix_block
+    seg_ends = ([max_len] if pb <= 0 else
+                sorted(set(list(range(L + 1 + pb, max_len, pb)) + [max_len])))
     logp0 = process_logits(_logp(next_logits), dc, st["tokens"], st["mask"],
                            jnp.asarray(L, jnp.int32), L)
     logp0 = jnp.broadcast_to(logp0[:, None, :], (b, k, vocab))
     state = (tokens, mask_buf, cache, run_scores,
              fin_seq, fin_scores, fin_flags, heur_unsat)
-    state, hits = step_update(state, logp0, jnp.asarray(L, jnp.int32))
+    state, hits = step_update(state, logp0, jnp.asarray(L, jnp.int32),
+                              None if pb <= 0 else seg_ends[0])
 
-    def cond(carry):
-        state, hits, cur = carry
-        (_t, _m, _c, _rs, _fs, _fsc, fin_flags, heur_unsat) = state
-        improvement_possible = jnp.any(heur_unsat)
-        exists_open = ~(jnp.all(fin_flags) & early)
-        valid_cont = ~jnp.all(hits)
-        return improvement_possible & exists_open & valid_cont
+    def make_cond(seg_end):
+        def cond(carry):
+            state, hits, cur = carry
+            (_t, _m, _c, _rs, _fs, _fsc, fin_flags, heur_unsat) = state
+            improvement_possible = jnp.any(heur_unsat)
+            exists_open = ~(jnp.all(fin_flags) & early)
+            valid_cont = ~jnp.all(hits)
+            alive = improvement_possible & exists_open & valid_cont
+            return alive if seg_end is None else alive & (cur < seg_end)
+        return cond
 
-    def body(carry):
-        state, _hits, cur = carry
-        tokens, mask_buf, cache, run_scores = state[0], state[1], state[2], state[3]
-        prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
-        logits, cache = flamingo.apply_lm(
-            params, config, prev_tok, policy=policy,
-            layer_hook=decode_hook, attention_mask=mask_buf,
-            position_ids=pos_next + (cur - 1 - L),
-            cache=cache, cache_index=cur - 1)
-        # HF beam mode applies the processor chain to the POST-log_softmax
-        # scores (generation/utils.py _beam_search), unlike greedy/sample
-        # mode where it runs on raw logits — match that exactly
-        from .generation import process_logits
-        logp = process_logits(_logp(logits[:, -1]), dc, tokens, mask_buf,
-                              cur, L)
-        state = (tokens, mask_buf, cache) + state[3:]
-        state, hits = step_update(state, logp.reshape(b, k, vocab), cur)
-        return state, hits, cur + 1
+    def make_body(lim):
+        def body(carry):
+            state, _hits, cur = carry
+            tokens, mask_buf, cache, run_scores = state[0], state[1], state[2], state[3]
+            prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
+            logits, cache = flamingo.apply_lm(
+                params, config, prev_tok, policy=policy,
+                layer_hook=decode_hook, attention_mask=mask_buf,
+                position_ids=pos_next + (cur - 1 - L),
+                cache=cache, cache_index=cur - 1, kv_limit=lim)
+            # HF beam mode applies the processor chain to the POST-log_softmax
+            # scores (generation/utils.py _beam_search), unlike greedy/sample
+            # mode where it runs on raw logits — match that exactly
+            from .generation import process_logits
+            logp = process_logits(_logp(logits[:, -1]), dc, tokens, mask_buf,
+                                  cur, L)
+            state = (tokens, mask_buf, cache) + state[3:]
+            state, hits = step_update(state, logp.reshape(b, k, vocab), cur,
+                                      lim)
+            return state, hits, cur + 1
+        return body
 
     carry = (state, hits, jnp.asarray(L + 1, jnp.int32))
-    state, hits, cur = lax.while_loop(cond, body, carry)
+    if pb <= 0:
+        carry = lax.while_loop(make_cond(None), make_body(None), carry)
+    else:
+        # live-prefix segmented decode (mirrors generation._generate_impl):
+        # static segment bounds; early stopping exits all remaining segments
+        for seg_end in seg_ends:
+            carry = lax.while_loop(make_cond(seg_end),
+                                   make_body(min(seg_end, max_len)), carry)
+    state, hits, cur = carry
     (_tokens, _mask, _cache, run_scores,
      fin_seq, fin_scores, fin_flags, _heur) = state
 

@@ -153,3 +153,33 @@ def test_quantized_beam_runs():
     out = model.generate(ids, max_length=10, num_beams=3,
                          eos_token_id=999, pad_token_id=0)
     assert np.asarray(out).shape == (1, 10)
+
+
+def test_beam_prefix_block_exact():
+    """Segmented live-prefix beam decode (prefix-limited cache gather +
+    kv_limit attention) is a pure layout change: tokens must EXACTLY equal
+    the full-cache beam path."""
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    rs = np.random.RandomState(8)
+    ids = rs.randint(0, 200, (2, 5))
+    ml = np.zeros((2, 5), np.int32)
+    ml[:, 0] = 1
+    px = rs.randn(2, 1, 3, 32, 32).astype(np.float32)
+    kw = dict(media_locations=ml, pixel_values=px, max_length=24,
+              eos_token_id=999, pad_token_id=0, num_beams=3)
+    full = np.asarray(model.generate(ids, **kw))
+    seg = np.asarray(model.generate(ids, prefix_block=8, **kw))
+    np.testing.assert_array_equal(full, seg)
+    seg1 = np.asarray(model.generate(ids, prefix_block=64, **kw))
+    np.testing.assert_array_equal(full, seg1)
+
+
+def test_beam_prefix_block_int8_kv_runs():
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0)).quantize_int8()
+    rs = np.random.RandomState(9)
+    ids = rs.randint(0, 200, (1, 4))
+    out = model.generate(ids, max_length=20, num_beams=3, eos_token_id=999,
+                         pad_token_id=0, int8_kv_cache=True, prefix_block=8)
+    assert np.asarray(out).shape == (1, 20)
