@@ -67,6 +67,10 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     k = dc.num_beams
     k2 = 2 * k
     max_len = dc.max_length
+    # HF max_new_tokens: hypotheses stop at M (= max_length when unset);
+    # buffers stay max_length-sized
+    M = max_len if dc.max_new_tokens is None else \
+        min(max_len, L + dc.max_new_tokens)
     lm = params["lm"]
     for key in ("wte", "embed_tokens"):
         if key in lm:
@@ -125,7 +129,7 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         parent = (top_idx // vocab).astype(jnp.int32)
         tok = (top_idx % vocab).astype(jnp.int32)
 
-        hits = (tok == dc.eos_token_id) | (cur + 1 >= max_len)  # (b, 2k)
+        hits = (tok == dc.eos_token_id) | (cur + 1 >= M)        # (b, 2k)
 
         # candidate sequences: parent rows with the new token at cur
         rows = tokens.reshape(b, k, max_len)
@@ -194,8 +198,8 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     # ---- fill position L from the (shared) prefill logits ------------------
     from .generation import process_logits
     pb = dc.prefix_block
-    seg_ends = ([max_len] if pb <= 0 else
-                sorted(set(list(range(L + 1 + pb, max_len, pb)) + [max_len])))
+    seg_ends = ([M] if pb <= 0 else
+                sorted(set(list(range(L + 1 + pb, M, pb)) + [M])))
     logp0 = process_logits(_logp(next_logits), dc, st["tokens"], st["mask"],
                            jnp.asarray(L, jnp.int32), L)
     logp0 = jnp.broadcast_to(logp0[:, None, :], (b, k, vocab))

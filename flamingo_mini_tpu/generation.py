@@ -42,6 +42,9 @@ class DecodeConfig:
     """Static decode hyperparameters (hashable -> usable as jit static arg)."""
 
     max_length: int = 150
+    # HF max_new_tokens: stop after this many generated tokens even if the
+    # (static) buffers extend to max_length; None = fill to max_length
+    max_new_tokens: Optional[int] = None
     eos_token_id: int = 50256
     pad_token_id: int = 50256
     do_sample: bool = False
@@ -311,6 +314,11 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             return st, cur + 1, new_finished, nxt, rng
         return body
 
+    # effective stop position: HF max_new_tokens bounds the generated count
+    # while the static buffers stay max_length-sized (slots beyond M = pads)
+    M = dc.max_length if dc.max_new_tokens is None else \
+        min(dc.max_length, L + dc.max_new_tokens)
+
     carry = (st, jnp.asarray(L, jnp.int32), finished0, first_tok, rng)
     if dc.prefix_block > 0:
         # Live-prefix segmented decode: steps with cur < seg_end only need
@@ -318,8 +326,9 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
         # slices that prefix — average KV traffic drops from max_length to
         # ~(L + generated/2 + block/2) per step. Segment bounds are static;
         # early EOS exits every remaining segment loop immediately.
-        seg_ends = list(range(L + dc.prefix_block, dc.max_length - 1,
-                              dc.prefix_block)) + [dc.max_length - 1]
+        seg_ends = sorted(set(
+            list(range(L + dc.prefix_block, M - 1, dc.prefix_block))
+            + [M - 1]))
         for seg_end in seg_ends:
             def cond_seg(carry, _end=seg_end):
                 _st, cur, finished, _tok, _rng = carry
@@ -329,7 +338,7 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     else:
         def cond(carry):
             _st, cur, finished, _tok, _rng = carry
-            return (cur < dc.max_length - 1) & ~jnp.all(finished)
+            return (cur < M - 1) & ~jnp.all(finished)
         carry = lax.while_loop(cond, make_body(None), carry)
     st, cur, finished, _, _ = carry
     return st["tokens"], cur + 1

@@ -283,6 +283,7 @@ class FlamingoModel:
         pixel_values=None,
         visual_features=None,
         max_length: int = 150,
+        max_new_tokens: Optional[int] = None,
         num_beams: int = 1,
         do_sample: bool = False,
         top_k: int = 0,
@@ -307,7 +308,8 @@ class FlamingoModel:
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
         pad = eos if pad_token_id is None else pad_token_id
         dc = DecodeConfig(
-            max_length=max_length, eos_token_id=eos, pad_token_id=pad,
+            max_length=max_length, max_new_tokens=max_new_tokens,
+            eos_token_id=eos, pad_token_id=pad,
             do_sample=do_sample, top_k=top_k, top_p=top_p,
             temperature=temperature, repetition_penalty=repetition_penalty,
             num_beams=num_beams,

@@ -151,6 +151,49 @@ def test_min_new_tokens_matches_hf(gpt2_pair):
                                       err_msg=f"min_new_tokens={min_new}")
 
 
+def test_max_new_tokens_matches_hf(gpt2_pair):
+    """max_new_tokens stops generation early while the static buffers stay
+    max_length-sized (slots beyond are pads)."""
+    m, params, config = gpt2_pair
+    b, n, max_length, mnt = 2, 4, 24, 7
+    rs = np.random.RandomState(17)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    want = _hf_generate(m, input_ids, max_new_tokens=mnt, do_sample=False,
+                        eos_token_id=128, pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, max_new_tokens=mnt,
+                      eos_token_id=128, pad_token_id=128)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    assert want.shape[1] == n + mnt
+    np.testing.assert_array_equal(got[:, :n + mnt], want)
+    # beyond the stop position: pads only
+    assert (got[:, n + mnt:] == 128).all()
+    # segmented path is identical
+    dc_seg = DecodeConfig(max_length=max_length, max_new_tokens=mnt,
+                          eos_token_id=128, pad_token_id=128, prefix_block=4)
+    got_seg = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                                  policy=PARITY, dc=dc_seg))
+    np.testing.assert_array_equal(got, got_seg)
+
+
+def test_beam_max_new_tokens_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length, mnt = 2, 4, 24, 8
+    rs = np.random.RandomState(19)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    want = _hf_generate(m, input_ids, max_new_tokens=mnt, do_sample=False,
+                        num_beams=3, early_stopping=True, eos_token_id=128,
+                        pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, max_new_tokens=mnt,
+                      eos_token_id=128, pad_token_id=128, num_beams=3)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+    assert (got[:, n + mnt:] == 128).all()
+
+
 def test_min_length_matches_hf(gpt2_pair):
     m, params, config = gpt2_pair
     b, n, max_length = 2, 4, 18
