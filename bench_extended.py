@@ -10,8 +10,9 @@
 All on random weights (zero-egress: no hub checkpoints), bf16, real device.
 Writes BENCH_EXTENDED.json and prints one line per config.
 
-Env: FLAMINGO_BENCH_CONFIGS=1,2,... to restrict; FLAMINGO_BENCH_INT8=1 for
-weight-only int8 on the LM trunk.
+Env: FLAMINGO_BENCH_CONFIGS=1,2,... to restrict. Deployment defaults are
+int8 weight-only (LM + gated xattn) and prefix_block=32 live-prefix decode;
+FLAMINGO_BENCH_INT8=0 / FLAMINGO_BENCH_PREFIX_BLOCK=0 disable them.
 """
 import json
 import os
@@ -34,10 +35,15 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
     from flamingo_mini_tpu.ops.layers import FAST
 
     params = F.init_flamingo(jax.random.PRNGKey(0), config)
-    if os.environ.get("FLAMINGO_BENCH_INT8") == "1":
-        from flamingo_mini_tpu.ops.quant import quantize_gpt2_lm, quantize_opt_lm
+    # deployment defaults match bench.py: int8 weight-only + live-prefix
+    # segments; FLAMINGO_BENCH_INT8=0 / FLAMINGO_BENCH_PREFIX_BLOCK=0 disable
+    if os.environ.get("FLAMINGO_BENCH_INT8", "1") == "1":
+        from flamingo_mini_tpu.ops.quant import (quantize_gpt2_lm,
+                                                 quantize_opt_lm,
+                                                 quantize_xattn_blocks)
         lm = params["lm"]
         params["lm"] = quantize_gpt2_lm(lm) if "wte" in lm else quantize_opt_lm(lm)
+        params["xattn"] = quantize_xattn_blocks(params["xattn"])
     from flamingo_mini_tpu.ops.quant import cast_params_bf16
     params = cast_params_bf16(params)  # bf16 storage: halve weight streaming
 
@@ -59,58 +65,71 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
     vocab = int((lm.get("wte") if "wte" in lm else
                  lm.get("embed_tokens") if "embed_tokens" in lm else
                  (lm.get("wte_q") or lm["embed_tokens_q"])["w8"]).shape[0])
+    pb = int(os.environ.get("FLAMINGO_BENCH_PREFIX_BLOCK", "32"))
     dc = DecodeConfig(max_length=prompt_len + decode_tokens,
                       eos_token_id=vocab + 1, pad_token_id=0,
-                      num_beams=num_beams, do_sample=do_sample, top_k=top_k)
+                      num_beams=num_beams, do_sample=do_sample, top_k=top_k,
+                      int8_kv_cache=os.environ.get(
+                          "FLAMINGO_BENCH_INT8_KV") == "1",
+                      prefix_block=pb)
 
-    # chained-marginal methodology (see bench.py): T(2 chained) - T(1)
-    # cancels the sandbox tunnel's per-call buffer shipping
-    from functools import partial as _partial
+    # two-length fixed-cache methodology (see bench.py / BENCH.md):
+    # structurally-identical programs decoding N vs N/2 tokens; per-step
+    # s = (t_full - t_half)/(N - N/2); cost = max(t_full - t_null, N*s)
+    from dataclasses import replace as _replace
     from flamingo_mini_tpu.generation import _generate_impl
     from flamingo_mini_tpu.beam_search import _beam_impl
 
-    @_partial(jax.jit, static_argnames=("reps",))
-    def chained(params, ids, media, mask, px, seed, reps):
+    dc_full = _replace(dc, max_new_tokens=decode_tokens)
+    dc_half = _replace(dc, max_new_tokens=decode_tokens // 2)
+
+    def run(d, ps, ids, media, mask, px, seed):
         px = px + seed.astype(px.dtype) * 1e-3
-        toks = ids
-        out = None
-        for r in range(reps):
-            if dc.num_beams > 1:
-                out, _ = _beam_impl(params, config, dc, FAST, toks, media,
-                                    mask, None, px + r * 1e-4,
-                                    jax.random.PRNGKey(r))
-            else:
-                out, _ = _generate_impl(params, config, dc, FAST, toks, media,
-                                        mask, None, px + r * 1e-4,
-                                        jax.random.PRNGKey(r))
-            toks = out[:, -prompt_len:] % min(vocab, 1000)
+        impl = _beam_impl if d.num_beams > 1 else _generate_impl
+        out, _ = impl(ps, config, d, FAST, ids, media, mask, None, px,
+                      jax.random.PRNGKey(0))
         return out
 
-    def timed(reps):
-        f = lambda s: np.asarray(chained(params, input_ids, media, mask,
-                                         pixels, jnp.asarray(s, jnp.float32),
-                                         reps))
-        f(0)
+    decode_full = jax.jit(lambda *a: run(dc_full, *a))
+    decode_half = jax.jit(lambda *a: run(dc_half, *a))
+
+    @jax.jit
+    def null_prog(ps, ids, media, mask, px, seed):
+        tot = sum(jnp.sum(leaf.astype(jnp.float32))
+                  for leaf in jax.tree_util.tree_leaves(ps))
+        return (tot + ids.sum() + media.sum() + mask.sum()
+                + px.astype(jnp.float32).sum() + seed)
+
+    def timed(fn):
+        f = lambda s: np.asarray(fn(params, input_ids, media, mask, pixels,
+                                    jnp.asarray(s, jnp.float32)))
+        f(0.0)
         ts = []
         for i in range(repeats):
             t0 = time.perf_counter()
-            f(i + 1)
+            f(float(i + 1))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
     t0 = time.time()
-    t1 = timed(1)
-    compile_s = time.time() - t0 - t1 * repeats
-    t2 = timed(2)
-    marginal = t2 - t1
-    best = marginal if marginal > 0.25 * t1 else t1
+    t_null = timed(null_prog)
+    t_half = timed(decode_half)
+    t_full = timed(decode_full)
+    compile_s = time.time() - t0 - (t_null + t_half + t_full) * repeats
+    n_extra = decode_tokens - decode_tokens // 2
+    step = (t_full - t_half) / n_extra
+    cost = max(t_full - t_null, decode_tokens * step)
+    if cost <= 0:
+        cost = t_full
     result = {
         "config": name,
-        "captions_per_sec": round(batch / best, 3),
+        "captions_per_sec": round(batch / cost, 3),
         "batch": batch,
         "decode_tokens": decode_tokens,
         "num_beams": num_beams,
-        "best_wall_s": round(best, 4),
+        "cost_s": round(cost, 4),
+        "t_null_s": round(t_null, 4),
+        "step_ms": round(step * 1000, 3),
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result), flush=True)
@@ -160,9 +179,11 @@ def main():
 
     with open(os.path.join(REPO, "BENCH_EXTENDED.json"), "w") as f:
         json.dump({"results": results,
-                   "int8": os.environ.get("FLAMINGO_BENCH_INT8") == "1",
-                   "methodology": "chained-marginal on-chip time "
-                                  "(T(2 chained decodes) - T(1); see BENCH.md)"},
+                   "int8": os.environ.get("FLAMINGO_BENCH_INT8", "1") == "1",
+                   "prefix_block": int(os.environ.get(
+                       "FLAMINGO_BENCH_PREFIX_BLOCK", "32")),
+                   "methodology": "two-length fixed-cache on-chip time "
+                                  "(max(t_full - t_null, N*step); see BENCH.md)"},
                   f, indent=2)
 
 
