@@ -30,7 +30,7 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
                repeats=3):
     import jax
     import jax.numpy as jnp
-    from flamingo_mini_tpu.generation import DecodeConfig, generate
+    from flamingo_mini_tpu.generation import DecodeConfig
     from flamingo_mini_tpu.models import flamingo as F
     from flamingo_mini_tpu.ops.layers import FAST
 
