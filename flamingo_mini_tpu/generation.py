@@ -319,7 +319,14 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     M = dc.max_length if dc.max_new_tokens is None else \
         min(dc.max_length, L + dc.max_new_tokens)
 
-    carry = (st, jnp.asarray(L, jnp.int32), finished0, first_tok, rng)
+    # Greedy never consumes the rng; carrying the ARGUMENT-origin key
+    # through the while_loop forces this platform's executor to treat the
+    # whole carry conservatively (argument buffers are pinned immutable for
+    # the remote transport), copying per iteration. An internally-created
+    # dummy keeps the carry alias-friendly. (Measured: decode floor drops
+    # ~2.4 ms/step -> ~0; see BENCH.md ablation notes.)
+    carry_rng = rng if dc.do_sample else jax.random.PRNGKey(0)
+    carry = (st, jnp.asarray(L, jnp.int32), finished0, first_tok, carry_rng)
     if dc.prefix_block > 0:
         # Live-prefix segmented decode: steps with cur < seg_end only need
         # cache slots [0, seg_end), so each segment's attention statically
