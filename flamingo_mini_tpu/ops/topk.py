@@ -1,11 +1,14 @@
 """Exact blockwise top-k for wide rows (the beam-search hot op).
 
-``lax.top_k`` over a (batch, num_beams*vocab) row (~150k lanes for
-flamingo-mini beam-3) is sort-bound on TPU. The standard exact
-decomposition splits the row into blocks, takes the per-block top-k (small
-sorts that vectorize over the block axis), then a final top-k over the
-``n_blocks * k`` survivors — any global top-k element is necessarily in its
-block's top-k, so the result is exact.
+The standard exact decomposition splits the row into blocks, takes the
+per-block top-k (small sorts that vectorize over the block axis), then a
+final top-k over the ``n_blocks * k`` survivors — any global top-k element
+is necessarily in its block's top-k, so the result is exact.
+
+NB (measured, TPU v5e): at beam-search scale (~150k lanes) plain
+``lax.top_k`` is FASTER than this decomposition (17.9 vs 22.6 ms/step in
+the beam decode), so beam search uses ``lax.top_k``; this utility is for
+substantially wider rows, where the row-wide sort becomes the bound.
 
 Tie-breaking matches ``lax.top_k`` (stable, lowest index first): survivors
 are ordered block-major with in-block ranks stable, so for equal values the
