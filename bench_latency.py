@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""p50 per-caption decode latency (the second BASELINE.json metric).
+
+Two serving shapes, flamingo-mini (GPT-2-medium + ViT-L/14), greedy,
+128 new tokens, deployment defaults (int8 weights + prefix_block=32):
+
+* bs=1  — single-request latency: wall time of one fenced decode call
+  (what one user waits; includes the environment's per-call dispatch).
+* bs=32 — batched serving: every caption in the batch completes when the
+  batch completes, so per-caption p50 latency = batch wall time.
+
+p50 over N fenced runs with varied inputs. Writes BENCH_LATENCY.json.
+"""
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+SMOKE = os.environ.get("FLAMINGO_BENCH_SMOKE") == "1"
+DECODE_TOKENS = 16 if SMOKE else 128
+PROMPT_LEN = 4
+RUNS = 3 if SMOKE else 7
+
+
+def measure(batch):
+    import jax
+    import jax.numpy as jnp
+    from flamingo_mini_tpu.generation import DecodeConfig, _generate_impl
+    from flamingo_mini_tpu.models import flamingo as F
+    from flamingo_mini_tpu.ops.layers import FAST
+    from flamingo_mini_tpu.ops.quant import (cast_params_bf16,
+                                             quantize_gpt2_lm,
+                                             quantize_xattn_blocks)
+    import bench
+
+    config = bench.flagship_config()
+    params = F.init_flamingo(jax.random.PRNGKey(0), config)
+    if os.environ.get("FLAMINGO_BENCH_INT8", "1") == "1":
+        params["lm"] = quantize_gpt2_lm(params["lm"])
+        params["xattn"] = quantize_xattn_blocks(params["xattn"])
+    params = cast_params_bf16(params)
+    arch = config.vision_arch
+
+    rs = np.random.RandomState(0)
+    ids = jnp.asarray(rs.randint(0, 1000, (batch, PROMPT_LEN)), jnp.int32)
+    media = jnp.zeros((batch, PROMPT_LEN), jnp.int32).at[:, 0].set(1)
+    mask = jnp.ones((batch, PROMPT_LEN), jnp.int32)
+    px = jnp.asarray(rs.randn(batch, 1, 3, arch.image_size, arch.image_size),
+                     jnp.bfloat16)
+    lm = params["lm"]
+    vocab = int((lm["wte"] if "wte" in lm else lm["wte_q"]["w8"]).shape[0])
+    dc = DecodeConfig(max_length=PROMPT_LEN + DECODE_TOKENS,
+                      eos_token_id=vocab + 1, pad_token_id=0,
+                      prefix_block=int(os.environ.get(
+                          "FLAMINGO_BENCH_PREFIX_BLOCK", "32")))
+
+    @jax.jit
+    def decode(ps, ids, media, mask, px, seed):
+        px = px + seed.astype(px.dtype) * 1e-3
+        out, _ = _generate_impl(ps, config, dc, FAST, ids, media, mask,
+                                None, px, jax.random.PRNGKey(0))
+        return out
+
+    f = lambda s: np.asarray(decode(params, ids, media, mask, px,
+                                    jnp.asarray(s, jnp.float32)))
+    f(0.0)  # compile
+    ts = []
+    for i in range(RUNS):
+        t0 = time.perf_counter()
+        f(float(i + 1))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    p50 = ts[len(ts) // 2]
+    return {"batch": batch, "p50_per_caption_s": round(p50, 4),
+            "runs_s": [round(t, 4) for t in ts],
+            "decode_tokens": DECODE_TOKENS}
+
+
+def main():
+    results = [measure(1), measure(4 if SMOKE else 32)]
+    out = {"metric": "p50 per-caption decode latency, flamingo-mini greedy",
+           "note": "bs=1 is single-request wall latency incl. per-call "
+                   "dispatch; at bs>1 every caption completes with the "
+                   "batch, so per-caption latency equals batch wall time",
+           "results": results}
+    with open(os.path.join(REPO, "BENCH_LATENCY.json"), "w") as fjson:
+        json.dump(out, fjson, indent=2)
+    print(json.dumps(out["results"]))
+
+
+if __name__ == "__main__":
+    main()
