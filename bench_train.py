@@ -52,18 +52,28 @@ def bench_config(name, config, *, batch, seq_len, steps=8, remat=False):
     }
     batch0["media_locations"][:, 0] = 1
 
-    def step(i):
+    def vary(i):
         b = dict(batch0)
         # vary pixels so no transport layer can memoize repeated steps
         b["pixel_values"] = batch0["pixel_values"] * (1.0 + i * 1e-3)
-        t0 = time.perf_counter()
-        loss = trainer.train_step_on(b)   # float(loss) fences on host
-        return time.perf_counter() - t0, loss
+        return b
+
+    from flamingo_mini_tpu.train.data import prefetch_to_device
 
     t_compile0 = time.time()
-    _, loss0 = step(0)   # compile + first step
+    loss0 = trainer.train_step_on(vary(0))   # compile + first step
     compile_s = time.time() - t_compile0
-    ts = [step(i + 1)[0] for i in range(steps)]
+
+    # measure the trainer's real loop shape: prefetch_to_device overlaps
+    # batch i+1's host->device transfer with batch i's step (un-prefetched,
+    # the raw transfer exceeds the step compute on this remote device)
+    batches_iter = (vary(i + 1) for i in range(steps))
+    ts = []
+    for b in prefetch_to_device(batches_iter, cast_pixels=trainer.policy.cast,
+                                mesh=trainer.mesh):
+        t0 = time.perf_counter()
+        trainer.train_step_on(b)   # float(loss) fences on host
+        ts.append(time.perf_counter() - t0)
     med = sorted(ts)[len(ts) // 2]
     result = {
         "config": name,

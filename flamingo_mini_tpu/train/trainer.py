@@ -218,7 +218,7 @@ class FlamingoTrainer:
         return {f"eval_{k}": v for k, v in metrics.items()}
 
     def train(self, resume_from_checkpoint: Optional[str] = None):
-        from .data import batches
+        from .data import batches, prefetch_to_device
         if resume_from_checkpoint:
             self.load_checkpoint(resume_from_checkpoint)
         args = self.args
@@ -229,10 +229,16 @@ class FlamingoTrainer:
                     or (self.eval_dataset is not None
                         and self.processor is not None))
         for epoch in range(args.num_epochs):
-            for batch in batches(self.train_dataset, self.collator,
-                                 args.per_device_batch_size
-                                 * max(1, len(self.mesh.devices.flat)),
-                                 seed=args.seed + epoch):
+            epoch_batches = batches(self.train_dataset, self.collator,
+                                    args.per_device_batch_size
+                                    * max(1, len(self.mesh.devices.flat)),
+                                    seed=args.seed + epoch)
+            # async-transfer batch i+1 while batch i computes — on
+            # remote-attached devices the raw transfer exceeds the step
+            # itself (BENCH.md "training throughput")
+            for batch in prefetch_to_device(epoch_batches,
+                                            cast_pixels=self.policy.cast,
+                                            mesh=self.mesh):
                 loss = self.train_step_on(batch)
                 losses.append(loss)
                 if self.step % args.log_every_steps == 0:
