@@ -52,8 +52,10 @@ def main():
     assert (a == b).all(), "reload changed greedy tokens"
     print("self round-trip OK; greedy tokens identical:", a[0, 4:].tolist())
 
-    # stage into the local HF cache layout so a hub id resolves
-    os.environ.setdefault("HF_HOME", tempfile.mkdtemp())
+    # stage into the local HF cache layout so a hub id resolves — ALWAYS a
+    # fresh temp dir so the demo never writes into (or uploads from) the
+    # user's real HF cache (advisor r2 finding)
+    os.environ["HF_HOME"] = tempfile.mkdtemp()
     snap = model.push_to_hub("demo/flamingo-tpu-export", save_format="npz")
     again = FlamingoModel.from_pretrained("demo/flamingo-tpu-export")
     print("push_to_hub staged at", snap)

@@ -263,6 +263,218 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     return fin_seq, fin_scores
 
 
+@partial(jax.jit, static_argnames=("config", "dc", "policy"))
+def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
+                     input_ids, media_locations, attention_mask,
+                     visual_features, pixel_values=None):
+    """Diverse (group) beam search, semantics-matched to HF's
+    ``BeamSearchScorer(num_beam_groups>1)`` + ``HammingDiversityLogitsProcessor``
+    (the classic ``_group_beam_search`` loop; the reference reaches it through
+    HF ``generate(num_beam_groups=..., diversity_penalty=...)``,
+    /root/reference/flamingo_mini/modeling_flamingo.py:464-548).
+
+    Per step, the ``G`` groups (each ``kg = k/G`` beams) are processed
+    sequentially: group ``g``'s log-probs are penalized by
+    ``diversity_penalty * count(token chosen by groups < g this step)``
+    (Hamming diversity runs FIRST in the HF chain), then a standard
+    2*kg-candidate beam update runs per group with its own finished pool of
+    size kg. A group freezes once done (pool full under early_stopping, or
+    the is_done heuristic); frozen groups emit pads, which — exactly as in
+    HF — still enter later groups' diversity counts. At the end, non-done
+    groups absorb their running beams (``BeamSearchScorer.finalize``), and
+    the per-row result is the merged pools sorted by score.
+
+    The model forward still runs ONCE per step over all b*k beams (as HF
+    does); only the score bookkeeping is per-group. Returns
+    ``(fin_seq (b, k, max_len), fin_scores (b, k))`` sorted desc like
+    ``_beam_impl``.
+    """
+    from .generation import _prefill, process_logits
+
+    if pixel_values is not None:
+        visual_features = flamingo.encode_resample_visuals(
+            params, config, policy.cast(pixel_values), policy=policy)
+
+    b, L = input_ids.shape
+    k = dc.num_beams
+    G = dc.num_beam_groups
+    kg = k // G
+    max_len = dc.max_length
+    M = max_len if dc.max_new_tokens is None else \
+        min(max_len, L + dc.max_new_tokens)
+    lm = params["lm"]
+    for key in ("wte", "embed_tokens"):
+        if key in lm:
+            vocab = lm[key].shape[0]
+            break
+        if key + "_q" in lm:
+            vocab = lm[key + "_q"]["w8"].shape[0]
+            break
+    lp_pow = dc.length_penalty
+    early = bool(dc.early_stopping)
+    dp = dc.diversity_penalty
+
+    next_logits, xattn_kv, st = _prefill(
+        params, config, dc, policy, input_ids, media_locations,
+        attention_mask, visual_features)
+
+    cache = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), st["cache"])
+    xattn_kv = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), xattn_kv)
+    tokens = _tile_beams(st["tokens"], k)            # (b*k, max_len)
+    mask_buf = _tile_beams(st["mask"], k)
+    pos_next = _tile_beams(st["pos_next"], k)
+    media_count = _tile_beams(st["media_count"], k)
+    decode_hook = flamingo.make_layer_hook(
+        params, config, xattn_kv, media_count, policy=policy)
+
+    # slot 0 of EVERY group starts live (HF: beam_scores[:, ::group_size]=0)
+    run_scores = jnp.full((b, G, kg), NEG).at[:, :, 0].set(0.0)
+    fin_seq = jnp.full((b, G, kg, max_len), dc.pad_token_id, jnp.int32)
+    fin_scores = jnp.full((b, G, kg), NEG)
+    fin_flags = jnp.zeros((b, G, kg), bool)
+    done = jnp.zeros((b, G), bool)
+    rank2 = jnp.arange(2 * kg) < kg                  # candidate rank < kg
+    rows_b = jnp.arange(b)[:, None]
+
+    def step(state, logp_bkV, cur):
+        """Fill position ``cur`` from (b, k, V) log-probs, group by group."""
+        (tokens, mask_buf, cache, run_scores,
+         fin_seq, fin_scores, fin_flags, done) = state
+        rows4 = tokens.reshape(b, G, kg, max_len)
+        mask4 = mask_buf.reshape(b, G, kg, max_len)
+        counts = jnp.zeros((b, vocab), jnp.float32)
+        parts = []
+        new_rs_g, new_fseq_g, new_fsc_g, new_ffl_g, new_done_g = \
+            [], [], [], [], []
+        gen_len = (cur + 1 - L).astype(jnp.float32)
+        for g in range(G):
+            done_g = done[:, g]                                    # (b,)
+            # Hamming diversity FIRST (HF appends it at the chain head),
+            # then the shared processor chain on the group's rows
+            s = logp_bkV[:, g * kg:(g + 1) * kg, :] - dp * counts[:, None, :]
+            s = process_logits(
+                s.reshape(b * kg, vocab), dc,
+                rows4[:, g].reshape(b * kg, max_len),
+                mask4[:, g].reshape(b * kg, max_len), cur, L
+            ).reshape(b, kg, vocab)
+            flat = (run_scores[:, g, :, None] + s).reshape(b, kg * vocab)
+            top_lp, top_idx = lax.top_k(flat, 2 * kg)              # (b, 2kg)
+            parent = (top_idx // vocab).astype(jnp.int32)
+            tok = (top_idx % vocab).astype(jnp.int32)
+            eos_cand = tok == dc.eos_token_id
+
+            # running refill: best kg non-eos candidates (rank order)
+            run_lp = top_lp + eos_cand.astype(jnp.float32) * NEG
+            new_rs, run_idx = lax.top_k(run_lp, kg)
+            run_parent = jnp.take_along_axis(parent, run_idx, axis=1)
+            run_tok = jnp.take_along_axis(tok, run_idx, axis=1)
+            # frozen groups emit pads from beam 0 with score 0 (HF pads the
+            # batch for done groups; content no longer matters)
+            run_parent = jnp.where(done_g[:, None], 0, run_parent)
+            run_tok = jnp.where(done_g[:, None],
+                                jnp.asarray(dc.pad_token_id, jnp.int32),
+                                run_tok)
+            new_rs = jnp.where(done_g[:, None], 0.0, new_rs)
+
+            # finished pool: eos candidates ranked < kg, unless group done
+            just_fin = eos_cand & rank2[None, :] & ~done_g[:, None]
+            pen_lp = top_lp / (gen_len ** lp_pow) \
+                + (~just_fin).astype(jnp.float32) * NEG
+            cand_seq = jnp.take_along_axis(rows4[:, g], parent[:, :, None],
+                                           axis=1)                 # (b,2kg,max)
+            iota = lax.broadcasted_iota(jnp.int32, (b, 2 * kg, max_len), 2)
+            cand_seq = jnp.where(iota == cur, tok[:, :, None], cand_seq)
+            merged_seq = jnp.concatenate([fin_seq[:, g], cand_seq], axis=1)
+            merged_sc = jnp.concatenate([fin_scores[:, g], pen_lp], axis=1)
+            merged_fl = jnp.concatenate([fin_flags[:, g], just_fin], axis=1)
+            best_sc, best_idx = lax.top_k(merged_sc, kg)
+            fseq = jnp.take_along_axis(merged_seq, best_idx[:, :, None],
+                                       axis=1)
+            ffl = jnp.take_along_axis(merged_fl, best_idx, axis=1)
+
+            # HF BeamHypotheses.is_done(next_scores.max(), cur_len)
+            pool_full = jnp.all(ffl, axis=-1)
+            if early:
+                done_new = done_g | pool_full
+            else:
+                worst = jnp.min(best_sc, axis=-1)
+                highest = top_lp[:, 0] / (gen_len ** lp_pow)
+                done_new = done_g | (pool_full & (worst >= highest))
+
+            # this group's chosen tokens (pads when frozen) enter the
+            # diversity counts of every LATER group — HF's current_tokens
+            counts = counts.at[rows_b, run_tok].add(1.0)
+            parts.append((g * kg + run_parent, run_tok))
+            new_rs_g.append(new_rs)
+            new_fseq_g.append(fseq)
+            new_fsc_g.append(best_sc)
+            new_ffl_g.append(ffl)
+            new_done_g.append(done_new)
+
+        parent_global = jnp.concatenate([p for p, _ in parts], axis=1)  # (b,k)
+        tok_global = jnp.concatenate([t for _, t in parts], axis=1)
+        tokens = _gather_beams(tokens, parent_global, b, k)
+        tokens = tokens.reshape(b, k, max_len).at[:, :, cur].set(tok_global)\
+                       .reshape(b * k, max_len)
+        mask_buf = mask_buf.at[:, cur].set(1)
+        cache = jax.tree_util.tree_map(
+            lambda x: _gather_beams(x, parent_global, b, k), cache)
+        return (tokens, mask_buf, cache, jnp.stack(new_rs_g, axis=1),
+                jnp.stack(new_fseq_g, axis=1), jnp.stack(new_fsc_g, axis=1),
+                jnp.stack(new_ffl_g, axis=1), jnp.stack(new_done_g, axis=1))
+
+    def _logp_rows(logits_2d):
+        return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
+
+    # ---- position L from the shared prefill logits -----------------------
+    logp0 = jnp.broadcast_to(_logp_rows(next_logits)[:, None, :],
+                             (b, k, vocab))
+    state = (tokens, mask_buf, cache, run_scores,
+             fin_seq, fin_scores, fin_flags, done)
+    state = step(state, logp0, jnp.asarray(L, jnp.int32))
+
+    def cond(carry):
+        state, cur = carry
+        return (cur < M) & ~jnp.all(state[7])
+
+    def body(carry):
+        state, cur = carry
+        tokens, mask_buf, cache = state[0], state[1], state[2]
+        prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
+        logits, cache = flamingo.apply_lm(
+            params, config, prev_tok, policy=policy,
+            layer_hook=decode_hook, attention_mask=mask_buf,
+            position_ids=pos_next + (cur - 1 - L),
+            cache=cache, cache_index=cur - 1)
+        state = (tokens, mask_buf, cache) + state[3:]
+        logp = _logp_rows(logits[:, -1]).reshape(b, k, vocab)
+        state = step(state, logp, cur)
+        return state, cur + 1
+
+    state, cur = lax.while_loop(cond, body, (state, jnp.asarray(L + 1,
+                                                                jnp.int32)))
+    (tokens, _mask, _cache, run_scores,
+     fin_seq, fin_scores, fin_flags, done) = state
+
+    # ---- finalize (BeamSearchScorer.finalize): non-done groups absorb
+    # their kg running beams, penalized by the final generated length ------
+    run_pen = run_scores / ((cur - L).astype(jnp.float32) ** lp_pow) \
+        + done[:, :, None].astype(jnp.float32) * NEG
+    rows4 = tokens.reshape(b, G, kg, max_len)
+    merged_seq = jnp.concatenate([fin_seq, rows4], axis=2)     # (b, G, 2kg, .)
+    merged_sc = jnp.concatenate([fin_scores, run_pen], axis=2)
+    best_sc, best_idx = lax.top_k(merged_sc, kg)
+    fin_seq = jnp.take_along_axis(merged_seq, best_idx[..., None], axis=2)
+    fin_scores = best_sc
+
+    # ---- cross-group selection: per row, ALL groups' pools merged, sorted
+    # desc (HF finalize sorts the concatenated candidate_beams) ------------
+    all_sc = fin_scores.reshape(b, G * kg)
+    all_seq = fin_seq.reshape(b, G * kg, max_len)
+    best_sc, best_idx = lax.top_k(all_sc, k)
+    return jnp.take_along_axis(all_seq, best_idx[:, :, None], axis=1), best_sc
+
+
 def beam_generate(params, config, dc, policy, input_ids, media_locations,
                   attention_mask, visual_features, pixel_values=None,
                   rng=None):
@@ -276,9 +488,18 @@ def beam_generate(params, config, dc, policy, input_ids, media_locations,
         raise ValueError(
             f"num_return_sequences ({nrs}) must be <= num_beams "
             f"({dc.num_beams}) for beam search (HF semantics)")
-    fin_seq, _scores = _beam_impl(params, config, dc, policy, input_ids,
-                                  media_locations, attention_mask,
-                                  visual_features, pixel_values, rng)
+    if dc.num_beam_groups > 1:
+        if dc.prefix_block > 0:
+            raise ValueError(
+                "prefix_block segmentation is not supported with "
+                "num_beam_groups > 1")
+        fin_seq, _scores = _group_beam_impl(
+            params, config, dc, policy, input_ids, media_locations,
+            attention_mask, visual_features, pixel_values)
+    else:
+        fin_seq, _scores = _beam_impl(params, config, dc, policy, input_ids,
+                                      media_locations, attention_mask,
+                                      visual_features, pixel_values, rng)
     if nrs > 1:
         b, _k, max_len = fin_seq.shape
         return fin_seq[:, :nrs].reshape(b * nrs, max_len)

@@ -63,12 +63,45 @@ class DecodeConfig:
     # FlamingoModel.generate
     bad_words_ids: Optional[tuple] = None
     num_return_sequences: int = 1     # HF: expand batch (sample) / top-n (beam)
+    # HF diverse/group beam search (HammingDiversityLogitsProcessor +
+    # BeamSearchScorer(num_beam_groups)): beams split into groups decoded
+    # sequentially per step, later groups penalized for reusing tokens the
+    # earlier groups just chose
+    num_beam_groups: int = 1
+    diversity_penalty: float = 0.0
+    # HF ForcedBOS/ForcedEOSTokenLogitsProcessor + Suppress processors
+    forced_bos_token_id: Optional[int] = None
+    forced_eos_token_id: Optional[int] = None
+    suppress_tokens: Optional[tuple] = None        # banned at every step
+    begin_suppress_tokens: Optional[tuple] = None  # banned at the first step
     # TPU decode-performance knobs (both preserve greedy quality in practice;
     # see BENCH.md): int8 K/V storage halves the per-step cache HBM stream;
     # prefix_block > 0 splits the decode loop into segments that attend only
     # the live cache prefix (rounded up to the block) instead of max_length.
     int8_kv_cache: bool = False
     prefix_block: int = 0
+
+    def __post_init__(self):
+        # the decode loop always emits at least one token (the prefill pick
+        # is written unconditionally), so max_new_tokens=0 cannot be honored
+        # — reject it instead of silently generating one (advisor r2)
+        if self.max_new_tokens is not None and self.max_new_tokens < 1:
+            raise ValueError(
+                f"max_new_tokens must be >= 1, got {self.max_new_tokens}")
+        if self.max_length < 2:
+            raise ValueError(f"max_length must be >= 2, got {self.max_length}")
+        if self.num_beam_groups > 1:
+            if self.num_beams % self.num_beam_groups != 0:
+                raise ValueError(
+                    f"num_beams ({self.num_beams}) must be divisible by "
+                    f"num_beam_groups ({self.num_beam_groups}) (HF semantics)")
+            if self.do_sample:
+                raise ValueError(
+                    "diverse/group beam search is deterministic; "
+                    "do_sample=True is not supported (HF semantics)")
+        if self.diversity_penalty != 0.0 and self.num_beam_groups <= 1:
+            raise ValueError(
+                "diversity_penalty requires num_beam_groups > 1 (HF semantics)")
 
 
 def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype,
@@ -228,12 +261,31 @@ def _ban_bad_words(logits, tokens, idx, words):
     return jnp.where(banned, neg, logits)
 
 
+def _force_token(logits, token_id: int, when):
+    """HF Forced{BOS,EOS}TokenLogitsProcessor: when the condition holds, every
+    logit is -inf except the forced token, which becomes 0."""
+    neg = jnp.finfo(jnp.float32).min
+    col = jnp.arange(logits.shape[-1]) == token_id
+    forced = jnp.where(col[None, :], jnp.float32(0.0), neg)
+    return jnp.where(when, forced, logits)
+
+
+def _suppress(logits, ids, when=True):
+    """HF SuppressTokens(AtBegin)LogitsProcessor: the listed ids are -inf
+    (always, or only when the condition holds)."""
+    neg = jnp.finfo(jnp.float32).min
+    banned = jnp.zeros((logits.shape[-1],), bool)
+    banned = banned.at[jnp.asarray(ids, jnp.int32)].set(True)
+    return jnp.where(banned[None, :] & when, neg, logits)
+
+
 def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
                    prompt_len: int):
     """The HF logits-processor chain in HF's order (repetition penalty ->
-    no-repeat-ngram -> bad-words -> min-length), applied to (b, V) next-token
-    logits. ``idx`` = length of the sequence so far = the position being
-    filled."""
+    no-repeat-ngram -> bad-words -> min-length -> forced-bos -> forced-eos ->
+    suppress -> begin-suppress; transformers generation/utils.py
+    _get_logits_processor), applied to (b, V) next-token logits. ``idx`` =
+    length of the sequence so far = the position being filled."""
     logits = logits.astype(jnp.float32)
     if dc.repetition_penalty != 1.0:
         logits = _repetition_penalty(logits, tokens, mask,
@@ -245,6 +297,21 @@ def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
         logits = _ban_bad_words(logits, tokens, idx, dc.bad_words_ids)
     if dc.min_length > 0 or dc.min_new_tokens > 0:
         logits = _ban_eos_while_short(logits, dc, idx, prompt_len)
+    if dc.forced_bos_token_id is not None:
+        # HF semantics: forces the token generated at sequence length 1 —
+        # only ever triggers with a single-token prompt on decoder-only LMs
+        logits = _force_token(logits, dc.forced_bos_token_id, idx == 1)
+    if dc.forced_eos_token_id is not None:
+        M = dc.max_length if dc.max_new_tokens is None else \
+            min(dc.max_length, prompt_len + dc.max_new_tokens)
+        logits = _force_token(logits, dc.forced_eos_token_id, idx == M - 1)
+    if dc.suppress_tokens:
+        logits = _suppress(logits, dc.suppress_tokens)
+    if dc.begin_suppress_tokens:
+        begin = prompt_len if (prompt_len > 1
+                               or dc.forced_bos_token_id is None) else \
+            prompt_len + 1
+        logits = _suppress(logits, dc.begin_suppress_tokens, idx == begin)
     return logits
 
 

@@ -126,23 +126,36 @@ class FlamingoModel:
             state = export_flamingo(self.params, self.config.xattn_every)
             save_hf_checkpoint(state, path)
 
-    def push_to_hub(self, repo_id: str, *, save_format: str = "both") -> str:
+    def push_to_hub(self, repo_id: str, *, save_format: str = "both",
+                    require_upload: bool = False) -> str:
         """Reference-API parity for ``PreTrainedModel.push_to_hub``
         (README.md:33). Zero-egress design: the checkpoint is staged into the
         local HF cache layout (``$HF_HOME/hub/models--org--name/snapshots``)
         so ``from_pretrained(repo_id)`` resolves it like any hub model; if
         ``huggingface_hub`` is importable AND the network is reachable, the
-        staged snapshot is also uploaded. Returns the staged snapshot dir."""
+        repo is created (``exist_ok``) and the staged snapshot uploaded.
+        Returns the staged snapshot dir; ``self.last_push_uploaded`` records
+        whether the network upload happened. ``require_upload=True`` re-raises
+        upload failures instead of degrading to staged-only."""
         from .utils.hub import stage_into_cache
         snap = stage_into_cache(repo_id, save=lambda d: self.save_pretrained(
             d, save_format=save_format))
+        self.last_push_uploaded = False
         try:
             from huggingface_hub import HfApi
-            HfApi().upload_folder(folder_path=snap, repo_id=repo_id,
-                                  repo_type="model")
+            api = HfApi()
+            # a repo that doesn't exist yet makes upload_folder fail — create
+            # it first (advisor r2 finding)
+            api.create_repo(repo_id, repo_type="model", exist_ok=True)
+            api.upload_folder(folder_path=snap, repo_id=repo_id,
+                              repo_type="model")
+            self.last_push_uploaded = True
         except Exception as e:  # offline / no token / package absent
-            logger.info("hub upload skipped (%s); checkpoint staged at %s",
-                        e, snap)
+            if require_upload:
+                raise
+            logger.warning(
+                "hub upload failed (%s); checkpoint staged locally at %s — "
+                "pass require_upload=True to make this an error", e, snap)
         return snap
 
     @classmethod
@@ -297,6 +310,12 @@ class FlamingoModel:
         no_repeat_ngram_size: int = 0,
         bad_words_ids=None,
         num_return_sequences: int = 1,
+        num_beam_groups: int = 1,
+        diversity_penalty: float = 0.0,
+        forced_bos_token_id: Optional[int] = None,
+        forced_eos_token_id: Optional[int] = None,
+        suppress_tokens=None,
+        begin_suppress_tokens=None,
         eos_token_id: Optional[int] = None,
         pad_token_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
@@ -307,6 +326,11 @@ class FlamingoModel:
         arch = self.config.lm_arch
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
         pad = eos if pad_token_id is None else pad_token_id
+        if bad_words_ids is not None:
+            # HF NoBadWordsLogitsProcessor filters out a bad word equal to
+            # [eos]: EOS must stay reachable (advisor r2 finding)
+            bad_words_ids = [w for w in bad_words_ids
+                             if not (len(w) == 1 and int(w[0]) == eos)]
         dc = DecodeConfig(
             max_length=max_length, max_new_tokens=max_new_tokens,
             eos_token_id=eos, pad_token_id=pad,
@@ -319,6 +343,14 @@ class FlamingoModel:
             bad_words_ids=None if bad_words_ids is None else tuple(
                 tuple(int(t) for t in w) for w in bad_words_ids),
             num_return_sequences=num_return_sequences,
+            num_beam_groups=num_beam_groups,
+            diversity_penalty=diversity_penalty,
+            forced_bos_token_id=forced_bos_token_id,
+            forced_eos_token_id=forced_eos_token_id,
+            suppress_tokens=None if suppress_tokens is None else tuple(
+                int(t) for t in suppress_tokens),
+            begin_suppress_tokens=None if begin_suppress_tokens is None
+            else tuple(int(t) for t in begin_suppress_tokens),
             int8_kv_cache=int8_kv_cache, prefix_block=prefix_block)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),

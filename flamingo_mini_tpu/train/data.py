@@ -109,20 +109,30 @@ class DataCollator:
     trainer via shard_batch)."""
 
     def __init__(self, processor: FlamingoProcessor, length: int = 64,
-                 random_leading_space: bool = True, seed: int = 0):
+                 random_leading_space: bool = True, hflip_prob: float = 0.5,
+                 seed: int = 0):
         self.processor = processor
         self.length = length
         self.random_leading_space = random_leading_space
+        # train-time augmentation: the reference composes RandomHorizontalFlip
+        # (p=0.5) BEFORE the CLIP transform (reference training/train.py:40-45)
+        self.hflip_prob = hflip_prob
         self._rng = random.Random(seed)
+
+    def _maybe_flip(self, image):
+        if self.hflip_prob > 0 and self._rng.random() < self.hflip_prob:
+            return np.asarray(image)[:, ::-1]
+        return image
 
     def __call__(self, samples: Sequence[CaptionSample]) -> dict:
         texts = []
         for s in samples:
             lead = self._rng.choice(["", " "]) if self.random_leading_space else ""
             texts.append(lead + self.processor.prepare_caption(s.caption))
+        pixels = self.processor.preprocess_images(
+            [self._maybe_flip(s.image) for s in samples])
         ids, media, mask = self.processor.encode_text(
             texts, length=self.length, pad_side="right")
-        pixels = self.processor.preprocess_images([s.image for s in samples])
         return {
             "input_ids": np.asarray(ids),
             "media_locations": np.asarray(media),

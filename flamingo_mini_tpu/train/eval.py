@@ -2,9 +2,10 @@
 
 Mirrors /root/reference/training/eval.py:12-62: batched caption generation
 over an (image, references) dataset, then COCO metrics (BLEU/METEOR/ROUGE-L/
-CIDEr/SPICE) via pycocoevalcap when installed. Zero-egress fallback: a
-self-contained corpus BLEU + a CIDEr-style consensus score so training runs
-can still regression-track quality without Java/pycocoevalcap.
+CIDEr/SPICE) via pycocoevalcap when installed. Zero-egress fallback:
+self-contained corpus BLEU, ROUGE-L, and a CIDEr-style consensus score so
+training runs can still regression-track quality without Java/pycocoevalcap
+(METEOR/SPICE need external resources and are pycocoevalcap-only).
 """
 from __future__ import annotations
 
@@ -52,6 +53,37 @@ def corpus_bleu(candidates: List[str], references: List[List[str]],
         log_sum += math.log(p) if p > 0 else -9999.0
         out[f"Bleu_{n}"] = bp * math.exp(log_sum / n)
     return out
+
+
+def rouge_l(candidates: List[str], references: List[List[str]],
+            beta: float = 1.2) -> float:
+    """ROUGE-L exactly as pycocoevalcap's Rouge scorer: per pair, LCS-based
+    precision/recall combined with beta=1.2; max over a candidate's
+    references; corpus mean (reference training/eval.py:58-62 emits ROUGE_L)."""
+
+    def lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b):
+                cur.append(prev[j] + 1 if x == y else max(cur[-1], prev[j + 1]))
+            prev = cur
+        return prev[-1]
+
+    scores = []
+    for cand, refs in zip(candidates, references):
+        c = cand.lower().split()
+        best = 0.0
+        for r in refs:
+            rt = r.lower().split()
+            lcs = lcs_len(c, rt)
+            if lcs == 0 or not c or not rt:
+                continue
+            prec, rec = lcs / len(c), lcs / len(rt)
+            best = max(best, ((1 + beta ** 2) * prec * rec)
+                       / (rec + beta ** 2 * prec))
+        scores.append(best)
+    return float(np.mean(scores)) if scores else 0.0
 
 
 def cider_d(candidates: List[str], references: List[List[str]],
@@ -127,8 +159,11 @@ def evaluate_image_captioning(
     try:
         return _pycoco_metrics(candidates, references)
     except ImportError:
-        logger.info("pycocoevalcap unavailable; using built-in BLEU/CIDEr-D")
+        logger.info("pycocoevalcap unavailable; using built-in "
+                    "BLEU/ROUGE-L/CIDEr-D (METEOR and SPICE need "
+                    "pycocoevalcap+Java and have no pure-python fallback)")
         metrics = corpus_bleu(candidates, references)
+        metrics["ROUGE_L"] = rouge_l(candidates, references)
         metrics["CIDEr"] = cider_d(candidates, references)
         return metrics
 

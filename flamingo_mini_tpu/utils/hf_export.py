@@ -147,6 +147,19 @@ def export_flamingo(params: Params, xattn_every: int,
     tower is excluded by default — the reference's checkpoint convention
     (modeling_flamingo.py:376)."""
     lm = params["lm"]
+
+    def has_quantized(node) -> bool:
+        if isinstance(node, dict):
+            return "w8" in node or any(has_quantized(v) for v in node.values())
+        if isinstance(node, (list, tuple)):
+            return any(has_quantized(v) for v in node)
+        return False
+
+    if has_quantized(params):
+        raise ValueError(
+            "export requires unquantized params: the model was quantized "
+            "(quantize_int8); reload the bf16/f32 checkpoint to export in "
+            "HF format")
     is_opt = "embed_tokens" in lm
     raw = export_opt(lm) if is_opt else export_gpt2(lm)
     layer_key = "decoder.layers." if is_opt else "h."

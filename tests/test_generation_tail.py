@@ -320,6 +320,125 @@ def test_generate_dp_mesh_matches_single(gpt2_pair):
                  dc=dc, mesh=mesh)
 
 
+def test_suppress_tokens_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 16
+    rs = np.random.RandomState(43)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    plain = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                         eos_token_id=128, pad_token_id=128)
+    sup = sorted({int(plain[i, n + j]) for i in range(b) for j in range(2)})
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        suppress_tokens=sup, eos_token_id=128,
+                        pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, suppress_tokens=tuple(sup))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+    assert not np.array_equal(want, plain)  # the suppression binds
+
+
+def test_begin_suppress_tokens_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 16
+    rs = np.random.RandomState(47)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    plain = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                         eos_token_id=128, pad_token_id=128)
+    sup = sorted({int(plain[i, n]) for i in range(b)})  # first generated toks
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        begin_suppress_tokens=sup, eos_token_id=128,
+                        pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, begin_suppress_tokens=tuple(sup))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+    # only the FIRST step is constrained: banned tokens may appear later
+    assert not np.array_equal(want, plain)
+
+
+def test_forced_eos_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 12
+    rs = np.random.RandomState(53)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        forced_eos_token_id=77, eos_token_id=128,
+                        pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, forced_eos_token_id=77)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+    assert (want[:, -1] == 77).all()
+
+
+def test_forced_bos_matches_hf(gpt2_pair):
+    """HF semantics: ForcedBOS fires at sequence length 1, i.e. only with a
+    single-token prompt on a decoder-only LM."""
+    m, params, config = gpt2_pair
+    input_ids = np.asarray([[5], [17]], dtype=np.int64)
+    max_length = 10
+
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        forced_bos_token_id=33, eos_token_id=128,
+                        pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, forced_bos_token_id=33)
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+    assert (want[:, 1] == 33).all()
+
+
+def test_beam_suppress_tokens_matches_hf(gpt2_pair):
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 14
+    rs = np.random.RandomState(59)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    plain = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                         num_beams=3, early_stopping=True, eos_token_id=128,
+                         pad_token_id=128)
+    sup = sorted({int(plain[i, n]) for i in range(b)})
+    want = _hf_generate(m, input_ids, max_length=max_length, do_sample=False,
+                        num_beams=3, early_stopping=True, suppress_tokens=sup,
+                        eos_token_id=128, pad_token_id=128)
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128, num_beams=3,
+                      suppress_tokens=tuple(sup))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_max_new_tokens_zero_raises():
+    with pytest.raises(ValueError):
+        DecodeConfig(max_new_tokens=0)
+    with pytest.raises(ValueError):
+        DecodeConfig(max_new_tokens=-3)
+
+
+def test_bad_words_eos_entry_dropped(gpt2_pair):
+    """HF's NoBadWordsLogitsProcessor drops a bad word equal to [eos] (EOS
+    must stay reachable); the model-API normalization must do the same."""
+    from flamingo_mini_tpu.modeling_flamingo import FlamingoModel
+    _, params, config = gpt2_pair
+    model = FlamingoModel(config, params=params)
+    ids = np.asarray([[5, 9, 12, 3]], dtype=np.int32)
+    plain = np.asarray(model.generate(ids, max_length=12, eos_token_id=128,
+                                      pad_token_id=128))
+    banned = np.asarray(model.generate(ids, max_length=12, eos_token_id=128,
+                                       pad_token_id=128,
+                                       bad_words_ids=[[128]]))
+    np.testing.assert_array_equal(plain, banned)
+
+
 def test_top_k_clamped_to_vocab(gpt2_pair):
     """top_k > vocab must not crash (HF clamps to vocab size)."""
     _, params, config = gpt2_pair

@@ -60,6 +60,16 @@ def test_exported_checkpoint_loads_into_reference(ref_model):  # noqa: F811
                 or k.endswith((".attn.bias", ".attn.masked_bias"))), k
 
 
+def test_export_quantized_params_raises_clearly(tmp_path):
+    """save_pretrained(save_format='hf') on an int8-quantized model must
+    raise a clear error, not an opaque KeyError (advisor r2 finding)."""
+    from flamingo_mini_tpu.modeling_flamingo import FlamingoModel
+    model = FlamingoModel(tiny_config(), rng=jax.random.PRNGKey(0))
+    model.quantize_int8()
+    with pytest.raises(ValueError, match="unquantized"):
+        model.save_pretrained(str(tmp_path), save_format="hf")
+
+
 def test_push_to_hub_stages_local_cache(tmp_path, monkeypatch):
     """push_to_hub (zero-egress) stages into $HF_HOME/hub so
     from_pretrained(repo_id) round-trips."""

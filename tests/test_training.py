@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from flamingo_mini_tpu import FlamingoConfig, FlamingoModel, FlamingoProcessor
 from flamingo_mini_tpu.tokenizer import build_toy_tokenizer
 from flamingo_mini_tpu.train.data import DataCollator, SyntheticCaptionDataset, batches
-from flamingo_mini_tpu.train.eval import cider_d, corpus_bleu
+from flamingo_mini_tpu.train.eval import cider_d, corpus_bleu, rouge_l
 from flamingo_mini_tpu.train.trainer import FlamingoTrainer, TrainingArguments
 
 TINY_LM = dict(vocab_size=512, n_positions=64, n_embd=32, n_layer=2, n_head=4)
@@ -223,6 +223,45 @@ def test_trainer_evaluate_on_heldout_and_metrics_sink(tmp_path, processor):
     rows = [json.loads(l) for l in open(sink)]
     assert any("loss" in r and "learning_rate" in r for r in rows)
     assert any(any(k.startswith("eval_") for k in r) for r in rows)
+
+
+def test_collator_random_hflip(processor):
+    """Reference train transform composes RandomHorizontalFlip before the
+    CLIP transform (reference training/train.py:40-45): p=1 must mirror the
+    pixels, p=0 must not."""
+    ds = SyntheticCaptionDataset(size=4, image_hw=32)
+    samples = [ds[i] for i in range(4)]
+    base = DataCollator(processor, length=16, hflip_prob=0.0)(samples)
+    flip = DataCollator(processor, length=16, hflip_prob=1.0)(samples)
+    np.testing.assert_allclose(flip["pixel_values"],
+                               base["pixel_values"][..., ::-1], atol=1e-6)
+    noflip = DataCollator(processor, length=16, hflip_prob=0.0)(samples)
+    np.testing.assert_array_equal(noflip["pixel_values"],
+                                  base["pixel_values"])
+    # default matches the reference (p=0.5): over many draws both happen
+    col = DataCollator(processor, length=16)
+    outs = [col([ds[0]])["pixel_values"] for _ in range(20)]
+    uniq = {o.tobytes() for o in outs}
+    assert len(uniq) == 2, "p=0.5 flip never (or always) triggered in 20 draws"
+
+
+def test_rouge_l_fallback_metric():
+    # identical candidate -> perfect score
+    assert rouge_l(["a cat sat"], [["a cat sat"]]) == pytest.approx(1.0)
+    # pycocoevalcap formula check: lcs=2 ("a","cat"), len(c)=3, len(r)=4
+    # beta=1.2: p=2/3, r=2/4 -> ((1+b^2)*p*r)/(r+b^2*p)
+    b2 = 1.2 ** 2
+    p, r = 2 / 3, 2 / 4
+    want = (1 + b2) * p * r / (r + b2 * p)
+    got = rouge_l(["a cat here"], [["a cat sat down"]])
+    assert got == pytest.approx(want)
+    # no overlap -> 0
+    assert rouge_l(["x y"], [["a b"]]) == 0.0
+    # fallback evaluator now reports it
+    from flamingo_mini_tpu.train import eval as eval_mod
+    cands = ["a cat on a mat"]
+    refs = [["a cat sits on a mat"]]
+    assert rouge_l(cands, refs) > 0.5
 
 
 def test_eval_metrics_selfcontained():
