@@ -397,11 +397,14 @@ class FlamingoModel:
     # -- scoring ---------------------------------------------------------
     def score_sequences(self, input_ids, media_locations, attention_mask,
                         pixel_values=None, visual_features=None,
-                        k: int = 100000) -> jnp.ndarray:
+                        k: int = 100000, reuse_block: int = 0) -> jnp.ndarray:
+        """``reuse_block > 0`` buckets the common-prefix length so serving
+        does not recompile per prompt length; scores are unchanged (to float-reassociation precision)."""
         return _score_sequences(
             self.params, self.config, input_ids, media_locations,
             attention_mask, policy=self.policy, pixel_values=_maybe(pixel_values),
-            visual_features=_maybe(visual_features), k=k)
+            visual_features=_maybe(visual_features), k=k,
+            reuse_block=reuse_block)
 
 
 def _maybe(x):

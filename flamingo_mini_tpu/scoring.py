@@ -36,56 +36,73 @@ def get_common_prefix_length(input_ids: np.ndarray) -> int:
     return int(idx)
 
 
-@partial(jax.jit, static_argnames=("config", "policy", "n_reuse", "k"))
+@partial(jax.jit, static_argnames=("config", "policy", "nb_down", "nb_up", "k"))
 def _score_impl(params, config: FlamingoConfig, policy: Policy,
                 input_ids, media_locations, attention_mask, visual_features,
-                n_reuse: int, k: int):
+                n_true, nb_down: int, nb_up: int, k: int):
+    """Two-pass scorer with BUCKETED static shapes.
+
+    ``n_true`` (traced) is the real common-prefix length; ``nb_down <=
+    n_true <= nb_up`` are its static bucket bounds (both equal to ``n_true``
+    when bucketing is off). Pass 1 runs over ``[0, nb_up)`` so the top-k
+    filter can read the logits at the exact position ``n_true - 1``
+    (a dynamic index into a static-shape array); pass 2 re-enters at
+    ``nb_down - 1``, overwriting any row-0-specific cache slots in
+    ``[nb_down-1, nb_up)``, and a dynamic mask drops loss terms for
+    positions below ``n_true`` — so the returned scores sum exactly the same
+    loss terms as the unbucketed program (equal up to float reassociation
+    across differently-shaped compiled programs, ~1e-5) while the compile
+    count scales with the number of buckets, not distinct prefix lengths."""
     n_choices, L = input_ids.shape
 
-    # ---- pass 1: shared prefix (batch of 1) ----------------------------
+    # ---- pass 1: shared prefix (batch of 1), bucketed UP ----------------
     text_time = jnp.cumsum(media_locations.astype(jnp.int32), axis=-1)
     xattn_kv = flamingo.compute_xattn_kv(
         params, config, policy.cast(visual_features), policy=policy)
     hook = flamingo.make_layer_hook(
-        params, config, xattn_kv, text_time[:1, :n_reuse], policy=policy)
+        params, config, xattn_kv, text_time[:1, :nb_up], policy=policy)
 
     from .generation import _init_lm_cache
     cache = _init_lm_cache(config, 1, L, policy.dtype)
     # the mask must span the full (preallocated) cache length
-    mask_full = jnp.zeros((1, L), jnp.int32).at[:, :n_reuse].set(
-        attention_mask[:1, :n_reuse].astype(jnp.int32))
+    mask_full = jnp.zeros((1, L), jnp.int32).at[:, :nb_up].set(
+        attention_mask[:1, :nb_up].astype(jnp.int32))
     logits, cache = flamingo.apply_lm(
-        params, config, input_ids[:1, :n_reuse], policy=policy,
+        params, config, input_ids[:1, :nb_up], policy=policy,
         layer_hook=hook, attention_mask=mask_full,
         position_ids=None, cache=cache,
         cache_index=jnp.asarray(0, jnp.int32))
 
-    # ---- top-k filter on the next token --------------------------------
-    next_tokens = input_ids[:, n_reuse] if n_reuse < L else input_ids[:, -1]
-    next_logits = logits[0, -1]
+    # ---- top-k filter on the next token after the TRUE prefix -----------
+    next_tokens = input_ids[:, n_true]                     # (n_choices,)
+    next_logits = logits[0, n_true - 1]
     cand_logits = next_logits[next_tokens]                 # (n_choices,)
     topk_vals, topk_idx = jax.lax.top_k(cand_logits, k)
 
-    # ---- pass 2: k choice suffixes with tiled caches -------------------
+    # ---- pass 2: k choice suffixes with tiled caches, bucketed DOWN -----
     tile = lambda x: jnp.repeat(x, k, axis=0)
     cache_k = jax.tree_util.tree_map(tile, cache)
     xattn_kv_k = jax.tree_util.tree_map(tile, xattn_kv)
 
-    choice_ids = input_ids[topk_idx][:, n_reuse - 1:]      # (k, L-n_reuse+1)
+    choice_ids = input_ids[topk_idx][:, nb_down - 1:]      # (k, L-nb_down+1)
     choice_media = media_locations[topk_idx]
     choice_mask = attention_mask[topk_idx]
-    choice_time = jnp.cumsum(choice_media.astype(jnp.int32), axis=-1)[:, n_reuse - 1:]
+    choice_time = jnp.cumsum(choice_media.astype(jnp.int32), axis=-1)[:, nb_down - 1:]
     hook2 = flamingo.make_layer_hook(
         params, config, xattn_kv_k, choice_time, policy=policy)
 
     logits2, _ = flamingo.apply_lm(
         params, config, choice_ids, policy=policy, layer_hook=hook2,
         attention_mask=choice_mask, position_ids=None,
-        cache=cache_k, cache_index=jnp.asarray(n_reuse - 1, jnp.int32))
+        cache=cache_k, cache_index=jnp.asarray(nb_down - 1, jnp.int32))
 
-    # shifted per-token CE over the choice window, summed per sequence
-    losses = flamingo.cross_entropy_loss(
-        logits2, choice_ids, reduction="none").reshape(k, -1).sum(axis=1)
+    # shifted per-token CE over the choice window; column j predicts the
+    # token at absolute position nb_down + j, so positions below the true
+    # prefix end (common to every choice) are masked out of the sum
+    per_tok = flamingo.cross_entropy_loss(
+        logits2, choice_ids, reduction="none").reshape(k, -1)
+    valid = (jnp.arange(per_tok.shape[1]) + nb_down) >= n_true
+    losses = (per_tok * valid[None, :]).sum(axis=1)
 
     scores = jnp.full((n_choices,), jnp.finfo(jnp.float32).min)
     scores = scores.at[topk_idx].set(-losses)
@@ -103,12 +120,20 @@ def score_sequences(
     pixel_values=None,
     visual_features=None,
     k: int = 100000,
+    reuse_block: int = 0,
 ) -> jnp.ndarray:
     """Log-prob scores (b,) for a batch of candidate sequences sharing a
     common prefix. Visual features are shared across the whole batch
-    (reference semantics: pixel_values (N c h w) / visual_features (N q d))."""
+    (reference semantics: pixel_values (N c h w) / visual_features (N q d)).
+
+    ``reuse_block``: bucket the common-prefix length to multiples of this
+    block so serving-time scoring does not recompile for every distinct
+    prefix length (only per bucket pair) — scores match the unbucketed
+    program to float-reassociation precision (see ``_score_impl``). 0 =
+    exact static length (one compile per distinct prefix length)."""
     input_ids = jnp.asarray(input_ids)
     n_choices = int(input_ids.shape[0])
+    L = int(input_ids.shape[1])
     n_reuse = get_common_prefix_length(np.asarray(input_ids))
     k = min(k, n_choices)
     if n_reuse == 0:
@@ -119,8 +144,14 @@ def score_sequences(
         k = n_choices
     # the reference fails when all sequences are equal (modeling_flamingo.py:636);
     # we clamp so the choice pass always has >= 1 token
-    n_reuse = min(n_reuse, int(input_ids.shape[1]) - 1)
+    n_reuse = min(n_reuse, L - 1)
     n_reuse = max(n_reuse, 1)
+
+    if reuse_block > 0:
+        nb_down = min(max(1, (n_reuse // reuse_block) * reuse_block), L - 1)
+        nb_up = min(max(1, -(-n_reuse // reuse_block) * reuse_block), L - 1)
+    else:
+        nb_down = nb_up = n_reuse
 
     if visual_features is None:
         assert pixel_values is not None, "need pixel_values or visual_features"
@@ -131,4 +162,5 @@ def score_sequences(
 
     return _score_impl(params, config, policy, input_ids,
                        jnp.asarray(media_locations), jnp.asarray(attention_mask),
-                       visual_features, n_reuse, k)
+                       visual_features, jnp.asarray(n_reuse, jnp.int32),
+                       nb_down, nb_up, k)
