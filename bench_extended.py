@@ -71,7 +71,9 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
                       num_beams=num_beams, do_sample=do_sample, top_k=top_k,
                       int8_kv_cache=os.environ.get(
                           "FLAMINGO_BENCH_INT8_KV") == "1",
-                      prefix_block=pb)
+                      prefix_block=pb,
+                      beam_reorder=os.environ.get(
+                          "FLAMINGO_BENCH_BEAM_REORDER", "lazy"))
 
     # two-length fixed-cache methodology (see bench.py / BENCH.md):
     # structurally-identical programs decoding N vs N/2 tokens; per-step

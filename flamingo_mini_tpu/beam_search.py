@@ -15,12 +15,20 @@ Algorithm (per step, filling sequence position ``cur``):
 * halt when no row can improve, every pool is full (early stopping), or all
   continuations hit stopping criteria (max_length).
 
-TPU design: beams fold into the batch axis for model calls; the per-step beam
-reorder is a ``take_along_axis`` gather over the leading cache axis (XLA
-lowers to an on-chip permute — the reference pays a host-side per-tensor
-``index_select``, modeling_flamingo.py:536-547). Prefill runs ONCE per batch
-row — the reference replicates the prompt per beam and pays ``k``x the
-prefill + vision compute (modeling_flamingo.py:485-510).
+TPU design: beams fold into the batch axis for model calls; prefill runs ONCE
+per batch row — the reference replicates the prompt per beam and pays ``k``x
+the prefill + vision compute (modeling_flamingo.py:485-510). The per-step
+beam reorder (the reference pays a host-side per-tensor ``index_select``,
+modeling_flamingo.py:536-547) has two modes (``DecodeConfig.beam_reorder``):
+
+* ``"gather"`` — physically permute the KV cache's leading axis with
+  ``take_along_axis`` (full live-prefix HBM read + write-back per step);
+* ``"lazy"`` (default) — ancestor-indexed reorder: cache rows never move.
+  A (b, k, max_len) int32 ancestry table records which physical row owns
+  each logical beam's position; the permutation is applied as a mask inside
+  the attention read (ops/attention.attend_beam_lazy), so the only per-step
+  reorder cost is permuting the tiny table. Decode-step HBM traffic drops
+  from read+write of the cache to the read attention already pays.
 """
 from __future__ import annotations
 
@@ -101,6 +109,15 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     fin_flags = jnp.zeros((b, k), bool)
     heur_unsat = jnp.ones((b,), bool)
     top_mask = jnp.arange(k2) < k                    # rank < k
+    lazy = dc.beam_reorder == "lazy"
+    # ancestor-indexed (lazy) reorder: anc[b, i, t] = physical cache row that
+    # holds logical beam i's K/V for position t. After prefill+tiling every
+    # logical beam owns its own row; decode writes position cur-1 into row i
+    # (prev_tok comes from the gathered ``tokens``), so anc[:, i, cur-1] = i
+    # always holds and only the ancestry of EARLIER positions is permuted.
+    anc = jnp.tile(jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                   (b, 1, max_len))
+    own_row = jnp.arange(k, dtype=jnp.int32)[None, :]
 
     def step_update(state, logp_bkV, cur, lim=None):
         """Fill position ``cur`` from per-beam log-probs (b, k, V).
@@ -109,9 +126,12 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         far, so the per-step beam reorder gathers just that prefix and leaves
         the (all-zero, beam-identical) tail in place — with ``prefix_block``
         segmentation this cuts the dominant beam cost, the full-cache
-        gather, to the live prefix."""
+        gather, to the live prefix. With ``beam_reorder="lazy"`` the cache is
+        never touched at all: only the (b, k, max_len) int32 ancestry table
+        is permuted, and the attention read applies it as a mask
+        (ops/attention.attend_beam_lazy)."""
         (tokens, mask_buf, cache, run_scores,
-         fin_seq, fin_scores, fin_flags, heur_unsat) = state
+         fin_seq, fin_scores, fin_flags, heur_unsat, anc) = state
 
         flat = (run_scores[:, :, None] + logp_bkV).reshape(b, k * vocab)
         if dc.do_sample:
@@ -148,13 +168,23 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
 
         tokens = _gather_beams(tokens, run_parent, b, k)
 
-        def gather_cache_leaf(x):
-            if lim is None or lim >= x.shape[2]:
-                return _gather_beams(x, run_parent, b, k)
-            head = _gather_beams(x[:, :, :lim], run_parent, b, k)
-            return lax.dynamic_update_slice(x, head, (0, 0, 0, 0))
+        if lazy:
+            # permute only the ancestry table (tiny int32); cache rows stay
+            # put. Position cur's K/V will be written into each beam's OWN
+            # row at the next forward (prev_tok reads the gathered tokens).
+            anc_new = jnp.take_along_axis(anc, run_parent[:, :, None], axis=1)
+            anc_new = anc_new.at[:, :, cur].set(own_row)
+            cache_new = cache
+        else:
+            anc_new = anc
 
-        cache_new = jax.tree_util.tree_map(gather_cache_leaf, cache)
+            def gather_cache_leaf(x):
+                if lim is None or lim >= x.shape[2]:
+                    return _gather_beams(x, run_parent, b, k)
+                head = _gather_beams(x[:, :, :lim], run_parent, b, k)
+                return lax.dynamic_update_slice(x, head, (0, 0, 0, 0))
+
+            cache_new = jax.tree_util.tree_map(gather_cache_leaf, cache)
         tokens = tokens.reshape(b, k, max_len).at[:, :, cur].set(run_tok)\
                        .reshape(b * k, max_len)
         mask_buf = mask_buf.at[:, cur].set(1)
@@ -184,7 +214,7 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         heur_unsat = heur_unsat & jnp.any(best_possible > worst_fin, axis=-1)
 
         state = (tokens, mask_buf, cache_new, new_run_scores,
-                 fin_seq, fin_scores, fin_flags, heur_unsat)
+                 fin_seq, fin_scores, fin_flags, heur_unsat, anc_new)
         return state, hits
 
     def _logp(logits_2d):
@@ -207,14 +237,14 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
                            jnp.asarray(L, jnp.int32), L)
     logp0 = jnp.broadcast_to(logp0[:, None, :], (b, k, vocab))
     state = (tokens, mask_buf, cache, run_scores,
-             fin_seq, fin_scores, fin_flags, heur_unsat)
+             fin_seq, fin_scores, fin_flags, heur_unsat, anc)
     state, hits = step_update(state, logp0, jnp.asarray(L, jnp.int32),
                               None if pb <= 0 else seg_ends[0])
 
     def make_cond(seg_end):
         def cond(carry):
             state, hits, cur = carry
-            (_t, _m, _c, _rs, _fs, _fsc, fin_flags, heur_unsat) = state
+            fin_flags, heur_unsat = state[6], state[7]
             improvement_possible = jnp.any(heur_unsat)
             exists_open = ~(jnp.all(fin_flags) & early)
             valid_cont = ~jnp.all(hits)
@@ -225,13 +255,14 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     def make_body(lim):
         def body(carry):
             state, _hits, cur = carry
-            tokens, mask_buf, cache, run_scores = state[0], state[1], state[2], state[3]
+            tokens, mask_buf, cache = state[0], state[1], state[2]
             prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
             logits, cache = flamingo.apply_lm(
                 params, config, prev_tok, policy=policy,
                 layer_hook=decode_hook, attention_mask=mask_buf,
                 position_ids=pos_next + (cur - 1 - L),
-                cache=cache, cache_index=cur - 1, kv_limit=lim)
+                cache=cache, cache_index=cur - 1, kv_limit=lim,
+                beam_anc=state[8] if lazy else None)
             # HF beam mode applies the processor chain to the POST-log_softmax
             # scores (generation/utils.py _beam_search), unlike greedy/sample
             # mode where it runs on raw logits — match that exactly
@@ -254,8 +285,7 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
             carry = lax.while_loop(make_cond(seg_end),
                                    make_body(min(seg_end, max_len)), carry)
     state, hits, cur = carry
-    (_tokens, _mask, _cache, run_scores,
-     fin_seq, fin_scores, fin_flags, _heur) = state
+    fin_seq, fin_scores = state[4], state[5]
 
     # finished pool per row, sorted desc by score (slot 0 = best). Rows that
     # never finished anything keep -1e9 scores but slot 0 still holds the

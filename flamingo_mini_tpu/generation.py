@@ -80,6 +80,13 @@ class DecodeConfig:
     # the live cache prefix (rounded up to the block) instead of max_length.
     int8_kv_cache: bool = False
     prefix_block: int = 0
+    # Beam-search cache reorder strategy. "gather" physically permutes the KV
+    # cache by parent index every step (full-cache HBM read+write);
+    # "lazy" (ancestor-indexed) leaves cache rows in place and carries a tiny
+    # (b, k, max_len) ancestry table folded into the attention read as a mask
+    # — same HF semantics, no per-step cache write-back (BENCH.md beam-step
+    # decomposition: the gather was 12.6 of 17.7 ms/step at beam-3 bs=32).
+    beam_reorder: str = "lazy"
 
     def __post_init__(self):
         # the decode loop always emits at least one token (the prefill pick
@@ -102,6 +109,10 @@ class DecodeConfig:
         if self.diversity_penalty != 0.0 and self.num_beam_groups <= 1:
             raise ValueError(
                 "diversity_penalty requires num_beam_groups > 1 (HF semantics)")
+        if self.beam_reorder not in ("gather", "lazy"):
+            raise ValueError(
+                f"beam_reorder must be 'gather' or 'lazy', "
+                f"got {self.beam_reorder!r}")
 
 
 def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype,
@@ -431,6 +442,7 @@ def generate(
     visual_features: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    tensor_parallel: bool = False,
 ) -> jnp.ndarray:
     """Generate token ids (b, max_length); prompt included, pads after EOS.
 
@@ -445,6 +457,15 @@ def generate(
     ``mesh``: DP-sharded batched serving — inputs are split over the mesh's
     first (data) axis, params replicated; XLA compiles one SPMD decode
     program, so an N-chip mesh serves N× the batch at single-chip latency.
+
+    ``tensor_parallel=True`` (needs a mesh with a 'model' axis of size > 1):
+    LM/xattn/resampler weights are Megatron-sharded over the model axis
+    (parallel/sharding.param_shardings) instead of replicated, pooling the
+    mesh's HBM for a bigger-than-chip LM at serve time; the token embedding
+    is zero-padded to a model-axis multiple (pad_vocab_params) so the largest
+    tensor shards too, with padded logits masked inside lm_head. XLA inserts
+    the per-layer collectives; tokens are identical to the single-device
+    program.
     """
     b, L = input_ids.shape
     if attention_mask is None:
@@ -477,13 +498,25 @@ def generate(
                 f"batch {input_ids.shape[0]} not divisible by the mesh data "
                 f"axis ({n_data})")
         data_s = NamedSharding(mesh, P(mesh.axis_names[0]))
-        repl = NamedSharding(mesh, P())
         put = lambda x: None if x is None else jax.device_put(x, data_s)
         input_ids, media_locations, attention_mask = (
             put(input_ids), put(media_locations), put(attention_mask))
         pixel_values, visual_features = put(pixel_values), put(visual_features)
-        params = jax.device_put(params, repl)
-        rng = jax.device_put(rng, repl)
+        if tensor_parallel:
+            from .parallel.sharding import (pad_vocab_params, param_shardings,
+                                            shard_params)
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            n_model = sizes.get("model", 1)
+            if n_model <= 1:
+                raise ValueError(
+                    "tensor_parallel=True needs a mesh with a 'model' axis "
+                    f"of size > 1, got axes {sizes}")
+            params = pad_vocab_params(params, n_model)
+            params = shard_params(
+                params, param_shardings(params, mesh, tensor_parallel=True))
+        else:
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        rng = jax.device_put(rng, NamedSharding(mesh, P()))
 
     if dc.num_beams > 1:
         from .beam_search import beam_generate

@@ -320,8 +320,10 @@ class FlamingoModel:
         pad_token_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
         mesh=None,
+        tensor_parallel: bool = False,
         int8_kv_cache: bool = False,
         prefix_block: int = 0,
+        beam_reorder: str = "lazy",
     ) -> jnp.ndarray:
         arch = self.config.lm_arch
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
@@ -351,14 +353,16 @@ class FlamingoModel:
                 int(t) for t in suppress_tokens),
             begin_suppress_tokens=None if begin_suppress_tokens is None
             else tuple(int(t) for t in begin_suppress_tokens),
-            int8_kv_cache=int8_kv_cache, prefix_block=prefix_block)
+            int8_kv_cache=int8_kv_cache, prefix_block=prefix_block,
+            beam_reorder=beam_reorder)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy, dc=dc,
             media_locations=_maybe(media_locations),
             attention_mask=_maybe(attention_mask),
             pixel_values=_maybe(pixel_values),
-            visual_features=_maybe(visual_features), rng=rng, mesh=mesh)
+            visual_features=_maybe(visual_features), rng=rng, mesh=mesh,
+            tensor_parallel=tensor_parallel)
 
     def generate_captions(
         self,

@@ -207,6 +207,7 @@ def apply_lm(
     kv_limit=None,
     context_mesh=None,
     context_axis: str = "data",
+    beam_anc=None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Run the LM trunk + tied head. Returns (logits, new_cache).
 
@@ -224,16 +225,20 @@ def apply_lm(
             position_ids=position_ids, attention_mask=attention_mask,
             layer_hook=layer_hook, cache=cache, cache_index=cache_index,
             dropout_rng=dropout_rng, kv_limit=kv_limit,
-            ring_mesh=context_mesh, ring_axis=context_axis)
-        logits = gpt2.lm_head(params["lm"], hidden, policy)
+            ring_mesh=context_mesh, ring_axis=context_axis,
+            beam_anc=beam_anc)
+        logits = gpt2.lm_head(params["lm"], hidden, policy,
+                              n_valid=lm_arch.vocab_size + 1)
     else:
         hidden, new_cache = opt.apply_opt(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
             position_ids=position_ids, attention_mask=attention_mask,
             layer_hook=layer_hook, cache=cache, cache_index=cache_index,
             dropout_rng=dropout_rng, kv_limit=kv_limit,
-            ring_mesh=context_mesh, ring_axis=context_axis)
-        logits = opt.lm_head(params["lm"], hidden, policy)
+            ring_mesh=context_mesh, ring_axis=context_axis,
+            beam_anc=beam_anc)
+        logits = opt.lm_head(params["lm"], hidden, policy,
+                             n_valid=lm_arch.vocab_size + 1)
     return logits, new_cache
 
 

@@ -104,6 +104,7 @@ def _self_attention(
     kv_limit: Optional[int] = None,   # static: attend only cache[:kv_limit]
     ring_mesh=None,                   # context parallelism: shard the seq dim
     ring_axis: str = "data",
+    beam_anc: Optional[jnp.ndarray] = None,  # (b, kb, max_len) ancestry table
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     h = layer_norm(x, bp["ln_1"], eps)
     qkv = linear(h, bp["c_attn"], policy)
@@ -136,6 +137,17 @@ def _self_attention(
             if kv_limit is not None:
                 k = k[:, :, :kv_limit]
                 v = v[:, :, :kv_limit]
+
+    if layer_cache is not None and beam_anc is not None:
+        # ancestor-indexed beam decode: cache rows never physically reordered
+        from ..ops.attention import attend_beam_lazy
+        return linear(merge_heads(attend_beam_lazy(
+            q, k, v, beam_anc,
+            causal=causal_mask,
+            bias=pad_bias,
+            scale=1.0 / (d_head ** 0.5),
+            precision=policy.precision,
+        )), bp["c_proj"], policy), new_cache
 
     if layer_cache is None and ring_mesh is not None:
         # context parallelism: exact causal attention with the sequence
@@ -181,6 +193,9 @@ def apply_gpt2(
     ring_mesh=None,                    # context-parallel self-attention: shard
                                        # the sequence over this mesh's axis
     ring_axis: str = "data",
+    beam_anc: Optional[jnp.ndarray] = None,  # (b, kb, max_len) int32: lazy
+                                       # beam reorder — cache rows stay put,
+                                       # ancestry masks the attention read
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Run the trunk. Returns final hidden states (b, n, d) and the updated
     cache (None when not caching).
@@ -248,6 +263,7 @@ def apply_gpt2(
             kv_limit=kv_limit,
             ring_mesh=ring_mesh,
             ring_axis=ring_axis,
+            beam_anc=beam_anc,
         )
         if rng_i is not None:
             attn_out = _dropout(attn_out, arch.resid_pdrop,
@@ -267,12 +283,30 @@ def apply_gpt2(
     return x, new_cache
 
 
-def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy) -> jnp.ndarray:
-    """Tied lm_head: logits = hidden @ wte^T (GPT-2 ties embeddings)."""
+def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy,
+            n_valid: Optional[int] = None) -> jnp.ndarray:
+    """Tied lm_head: logits = hidden @ wte^T (GPT-2 ties embeddings).
+
+    ``n_valid``: true vocab row count (incl. <EOC>). When the embedding was
+    padded to a mesh multiple for tensor-parallel sharding
+    (parallel/sharding.pad_vocab_params), the padded rows are zeros — their
+    logits would be 0.0, not -inf — so columns >= n_valid are masked to
+    finfo.min before any softmax/argmax consumer sees them."""
     if "wte_q" in p:
         q = p["wte_q"]
         logits = jnp.matmul(hidden, jnp.swapaxes(q["w8"].astype(hidden.dtype), 0, 1),
                             precision=policy.precision,
                             preferred_element_type=jnp.float32)
-        return (logits * q["scale"]).astype(hidden.dtype)
-    return dot(hidden, jnp.swapaxes(p["wte"].astype(hidden.dtype), 0, 1), policy)
+        logits = (logits * q["scale"]).astype(hidden.dtype)
+    else:
+        logits = dot(hidden, jnp.swapaxes(p["wte"].astype(hidden.dtype), 0, 1),
+                     policy)
+    return _mask_pad_vocab(logits, n_valid)
+
+
+def _mask_pad_vocab(logits: jnp.ndarray, n_valid: Optional[int]) -> jnp.ndarray:
+    if n_valid is None or logits.shape[-1] <= n_valid:
+        return logits
+    cols = jnp.arange(logits.shape[-1])
+    neg = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    return jnp.where(cols[None, None, :] < n_valid, logits, neg)

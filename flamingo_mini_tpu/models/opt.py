@@ -103,6 +103,9 @@ def apply_opt(
     kv_limit: Optional[int] = None,    # static live-prefix length
     ring_mesh=None,                    # context-parallel self-attention
     ring_axis: str = "data",
+    beam_anc: Optional[jnp.ndarray] = None,  # (b, kb, max_len) int32: lazy
+                                       # beam reorder — cache rows stay put,
+                                       # ancestry masks the attention read
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Returns (hidden (b, n, word_embed_proj_dim), updated cache)."""
     b, n = input_ids.shape
@@ -192,7 +195,15 @@ def apply_opt(
                     k = k[:, :, :kv_limit]
                     v = v[:, :, :kv_limit]
         rng_i = None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
-        if cache is None and ring_mesh is not None:
+        if cache is not None and beam_anc is not None:
+            # ancestor-indexed beam decode (see ops/attention.attend_beam_lazy);
+            # ``bias`` already combines the causal + padding masks, so the
+            # helper only adds the ancestry constraint on top
+            from ..ops.attention import attend_beam_lazy
+            out = attend_beam_lazy(q, k, v, beam_anc, causal=None,
+                                   bias=bias, scale=scale,
+                                   precision=policy.precision)
+        elif cache is None and ring_mesh is not None:
             from ..parallel.ring_attention import ring_attention
             out = ring_attention(q, k, v, mesh=ring_mesh, axis_name=ring_axis,
                                  scale=scale)
@@ -232,12 +243,20 @@ def apply_opt(
     return x, new_cache
 
 
-def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy) -> jnp.ndarray:
-    """Tied lm_head: logits = hidden @ embed_tokens^T."""
+def lm_head(p: Params, hidden: jnp.ndarray, policy: Policy,
+            n_valid: Optional[int] = None) -> jnp.ndarray:
+    """Tied lm_head: logits = hidden @ embed_tokens^T.
+
+    ``n_valid`` masks logits of vocab-padding rows added for tensor-parallel
+    sharding (see gpt2.lm_head)."""
     if "embed_tokens_q" in p:
         q = p["embed_tokens_q"]
         logits = jnp.matmul(hidden, jnp.swapaxes(q["w8"].astype(hidden.dtype), 0, 1),
                             precision=policy.precision,
                             preferred_element_type=jnp.float32)
-        return (logits * q["scale"]).astype(hidden.dtype)
-    return dot(hidden, jnp.swapaxes(p["embed_tokens"].astype(hidden.dtype), 0, 1), policy)
+        logits = (logits * q["scale"]).astype(hidden.dtype)
+    else:
+        logits = dot(hidden, jnp.swapaxes(
+            p["embed_tokens"].astype(hidden.dtype), 0, 1), policy)
+    from .gpt2 import _mask_pad_vocab
+    return _mask_pad_vocab(logits, n_valid)

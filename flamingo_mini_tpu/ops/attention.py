@@ -35,6 +35,76 @@ def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
+def attend_beam_lazy(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    anc: jnp.ndarray,
+    *,
+    causal: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    precision=None,
+) -> jnp.ndarray:
+    """Single-token decode attention over an UNPERMUTED beam KV cache.
+
+    Ancestor-indexed (lazy) beam reorder: instead of physically gathering the
+    whole KV cache by parent index every beam step (the reference pays a
+    host-side per-tensor ``index_select``,
+    /root/reference/flamingo_mini/modeling_flamingo.py:536-547; our previous
+    design paid an on-chip full-cache gather + write-back), the cache rows are
+    never moved. Each logical beam ``i`` attends over ALL ``kb`` physical
+    rows of its batch group, and an ancestry mask keeps exactly the entries
+    ``anc[b, i, t] == j`` — the row that logically owns position ``t``. The
+    permutation rides in a boolean mask (free: fused into the softmax chain)
+    instead of HBM traffic; K/V are read once, nothing is written back. The
+    score matmul grows ``kb``× in FLOPs, which is noise in the
+    bandwidth-bound decode regime.
+
+    Exactness: every valid (i, t) score is the same dot product the gathered
+    layout would compute; masked entries softmax to exact 0.0 in fp32, so the
+    output matches the physical-gather path.
+
+    Args:
+      q: (b*kb, h, 1, d) one query per logical beam.
+      k, v: (b*kb, h, T, d) physical cache, possibly kv_limit-sliced.
+      anc: (b, kb, >=T) int32 ancestry table (sliced to T here).
+      causal: optional bool, broadcastable to (1, 1, 1, T) — kv_pos <= q_pos.
+      bias: optional additive mask (b*kb, 1, 1, T) (HF padding convention).
+      scale: post-matmul score multiplier (HF divides after the QK matmul).
+    """
+    dtype = q.dtype
+    bk, h, _, d = q.shape
+    T = k.shape[2]
+    b, kb = anc.shape[0], anc.shape[1]
+    assert b * kb == bk, (b, kb, bk)
+    qr = q.reshape(b, kb, h, d)
+    kr = k.reshape(b, kb, h, T, d)
+    vr = v.reshape(b, kb, h, T, d)
+    sim = jnp.einsum("bihd,bjhtd->bhijt", qr, kr, precision=precision,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    if scale is not None:
+        sim = sim * jnp.asarray(scale, dtype)
+    valid = anc[:, :, :T][:, :, None, :] == \
+        jnp.arange(kb, dtype=anc.dtype)[None, None, :, None]   # (b, i, j, t)
+    mask = valid[:, None]                                       # (b,1,i,j,t)
+    if causal is not None:
+        mask = mask & jnp.reshape(causal, causal.shape[-1:])    # broadcast t
+    neg = jnp.asarray(jnp.finfo(dtype).min, dtype)
+    sim = jnp.where(mask, sim, neg)
+    if bias is not None:
+        # padding bias per logical query row i (beam-invariant over j)
+        sim = sim + jnp.swapaxes(
+            bias.astype(dtype).reshape(b, kb, 1, 1, T), 1, 2)
+    sim = jnp.maximum(sim, neg)
+    flat = sim.reshape(b, h, kb, kb * T)
+    alphas = jax.nn.softmax(flat.astype(jnp.float32), axis=-1).astype(dtype)
+    alphas = alphas.reshape(b, h, kb, kb, T)
+    out = jnp.einsum("bhijt,bjhtd->bihd", alphas, vr, precision=precision,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out.reshape(bk, h, 1, d)
+
+
 def attend(
     q: jnp.ndarray,
     k: jnp.ndarray,

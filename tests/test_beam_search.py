@@ -85,6 +85,26 @@ def test_beam_parity_vs_hf(gpt2_pair, eos_mode, num_beams):
     assert np.all(got[:, want_len:] == eos)
 
 
+def test_beam_lazy_matches_gather(gpt2_pair):
+    """Ancestor-indexed (lazy) reorder is a layout change only: tokens must
+    equal the physical-gather path (and both equal HF via
+    test_beam_parity_vs_hf, which runs through the default 'lazy')."""
+    _, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 16
+    rs = np.random.RandomState(11)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    for extra in (dict(), dict(prefix_block=8)):
+        outs = {}
+        for mode in ("gather", "lazy"):
+            dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                              pad_token_id=128, num_beams=3,
+                              beam_reorder=mode, **extra)
+            outs[mode] = np.asarray(generate(
+                params, config, jnp.asarray(input_ids), policy=PARITY, dc=dc))
+        np.testing.assert_array_equal(outs["gather"], outs["lazy"],
+                                      err_msg=f"extra={extra}")
+
+
 def test_beam1_matches_greedy(gpt2_pair):
     from flamingo_mini_tpu.beam_search import beam_generate
     _, params, config = gpt2_pair

@@ -175,6 +175,21 @@ def test_beam_prefix_block_exact():
     np.testing.assert_array_equal(full, seg1)
 
 
+def test_beam_lazy_vs_gather_int8_kv():
+    """Lazy reorder never rewrites the quantized cache, so int8-KV beam decode
+    must match the gather path token-for-token (gather moves int8 rows without
+    requantizing — both layouts read identical dequantized values)."""
+    cfg = tiny_config()
+    model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0))
+    rs = np.random.RandomState(13)
+    ids = rs.randint(0, 200, (2, 4))
+    kw = dict(max_length=20, num_beams=3, eos_token_id=999, pad_token_id=0,
+              int8_kv_cache=True, prefix_block=8)
+    g = np.asarray(model.generate(ids, beam_reorder="gather", **kw))
+    l = np.asarray(model.generate(ids, beam_reorder="lazy", **kw))
+    np.testing.assert_array_equal(g, l)
+
+
 def test_beam_prefix_block_int8_kv_runs():
     cfg = tiny_config()
     model = FlamingoModel(cfg, rng=jax.random.PRNGKey(0)).quantize_int8()
