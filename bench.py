@@ -129,29 +129,70 @@ def bench_ours() -> float:
         return (tot + ids.sum() + media.sum() + mask.sum()
                 + px.astype(jnp.float32).sum() + seed)
 
-    def timed(fn):
+    def timed(fn, label=""):
+        """Dispersion-gated min-of-N: keep sampling (up to MAX_REPS) until the
+        two fastest repeats agree within GATE — the min of a converged run is
+        the on-chip cost; host contention shows up as dispersion and triggers
+        more repeats instead of corrupting the record (VERDICT r2 weak #2)."""
         f = lambda s: np.asarray(fn(params, input_ids, media, mask, pixels,
                                     jnp.asarray(s, jnp.float32)))
         f(0.0)  # compile
+        GATE = 0.04
+        MIN_REPS, MAX_REPS = (2, 3) if SMOKE else (3, 8)
         ts = []
-        for i in range(2 if SMOKE else 3):
+        for i in range(MAX_REPS):
             t0 = time.perf_counter()
             f(float(i + 1))
             ts.append(time.perf_counter() - t0)
+            if len(ts) >= MIN_REPS:
+                lo = sorted(ts)[:2]
+                if (lo[1] - lo[0]) / lo[0] <= GATE:
+                    break
+        else:
+            print(f"[bench] warn: {label or fn} dispersion gate not met after "
+                  f"{MAX_REPS} reps: {sorted(ts)[:3]}", file=sys.stderr)
         return min(ts)
 
-    t_null = timed(null_prog)
-    t_half = timed(decode_half)
-    t_full = timed(decode_full)
+    def preflight_idle():
+        """Refuse to measure on a contended host: t_null repeats must agree
+        within 10% before the real programs are timed."""
+        for attempt in range(5):
+            t = timed(null_prog, "preflight")
+            t2 = timed(null_prog, "preflight")
+            if abs(t - t2) / max(t, t2) <= 0.10:
+                return min(t, t2)
+            print(f"[bench] host busy (t_null {t:.4f}/{t2:.4f}s), "
+                  f"retry {attempt + 1}/5 in 3s", file=sys.stderr)
+            time.sleep(3)
+        return min(t, t2)
+
     n_extra = DECODE_TOKENS - DECODE_TOKENS // 2
-    step = (t_full - t_half) / n_extra
-    cost = max(t_full - t_null, DECODE_TOKENS * step)
-    if os.environ.get("FLAMINGO_BENCH_DEBUG") == "1":
-        print(f"[debug] t_null={t_null:.4f}s t_half={t_half:.4f}s "
-              f"t_full={t_full:.4f}s step={step*1000:.3f}ms "
-              f"cost={cost:.4f}s", file=sys.stderr)
+
+    def measure_round():
+        t_null = preflight_idle()
+        t_half = timed(decode_half, "half")
+        t_full = timed(decode_full, "full")
+        step = (t_full - t_half) / n_extra
+        cost = max(t_full - t_null, DECODE_TOKENS * step)
+        # the two estimators must cross-check (BENCH.md: they agree within a
+        # few % on an idle host); disagreement marks a noise-corrupted round
+        agree = (abs((t_full - t_null) - DECODE_TOKENS * step) / cost
+                 if cost > 0 else 1.0)
+        if os.environ.get("FLAMINGO_BENCH_DEBUG") == "1":
+            print(f"[debug] t_null={t_null:.4f}s t_half={t_half:.4f}s "
+                  f"t_full={t_full:.4f}s step={step*1000:.3f}ms "
+                  f"cost={cost:.4f}s agree={agree:.3f}", file=sys.stderr)
+        return cost, agree
+
+    cost, agree = measure_round()
+    if cost <= 0 or agree > 0.15:
+        print(f"[bench] estimators disagree ({agree:.1%}) — re-measuring",
+              file=sys.stderr)
+        cost2, agree2 = measure_round()
+        if 0 < cost2 and (agree2 < agree or cost <= 0):
+            cost, agree = cost2, agree2
     if cost <= 0:  # untrustworthy subtraction -> conservative end-to-end
-        cost = t_full
+        cost = timed(decode_full, "full-fallback")
     return BATCH / cost
 
 
