@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Quantify the deployment default's fidelity cost: int8 weight-only vs bf16
+greedy decode divergence (VERDICT r2 weak #5 / next #5).
+
+The headline bench config serves int8 weight-only (LM + gated xattn) +
+live-prefix segments. prefix_block is proven bitwise-exact
+(tests/test_quant.py); int8 is NOT exact and cannot be — this script measures
+what it actually costs, caption-level, at the headline model scale:
+
+  * >= N captions (default 1024) at flamingo-mini scale (GPT-2-medium +
+    ViT-L/14), random-init weights (zero egress; divergence on trained
+    weights is expected to be lower because logit margins are larger, and
+    can be re-measured with tools/validate_reference_checkpoint.py's cache
+    when warm — the mechanism measured here is identical)
+  * greedy 64-token decode, identical prompts/pixels for both systems
+  * reports: %% identical captions, %% identical tokens, first-divergence
+    histogram (position buckets), written to BENCH_FIDELITY.json
+
+Usage: python tools/int8_fidelity.py [--captions 1024] [--smoke]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--captions", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--decode-tokens", type=int, default=64)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny model + 64 captions (CI-sized)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flamingo_mini_tpu import FlamingoConfig
+    from flamingo_mini_tpu.generation import DecodeConfig, _generate_impl
+    from flamingo_mini_tpu.models import flamingo as F
+    from flamingo_mini_tpu.ops.layers import FAST
+    from flamingo_mini_tpu.ops.quant import (cast_params_bf16,
+                                             quantize_gpt2_lm,
+                                             quantize_xattn_blocks)
+
+    if args.smoke:
+        args.captions = min(args.captions, 64)
+        args.batch = min(args.batch, 8)
+        args.decode_tokens = 16
+        config = FlamingoConfig(
+            lm="gpt2", clip_model_type="openai/clip-vit-base-patch32",
+            dim=64, dim_visual=64, xattn_every=1, xattn_dim_head=16,
+            xattn_heads=4, resampler_depth=2, resampler_dim_head=16,
+            resampler_heads=4, resampler_num_latents=8,
+            compute_dtype="bfloat16",
+            lm_arch_overrides=dict(vocab_size=256, n_positions=512, n_embd=64,
+                                   n_layer=4, n_head=4),
+            vision_arch_overrides=dict(hidden_size=64, intermediate_size=128,
+                                       num_hidden_layers=2,
+                                       num_attention_heads=4,
+                                       image_size=64, patch_size=16))
+    else:
+        config = FlamingoConfig(
+            lm="gpt2-medium", clip_model_type="openai/clip-vit-large-patch14",
+            dim=1024, dim_visual=1024, compute_dtype="bfloat16")
+
+    params = F.init_flamingo(jax.random.PRNGKey(0), config)
+    params_bf16 = cast_params_bf16(params)
+    params_int8 = cast_params_bf16({
+        **params,
+        "lm": quantize_gpt2_lm(params["lm"]),
+        "xattn": quantize_xattn_blocks(params["xattn"]),
+    })
+
+    arch = config.vision_arch
+    prompt_len = 4
+    dc = DecodeConfig(max_length=prompt_len + args.decode_tokens,
+                      eos_token_id=10**9, pad_token_id=0, prefix_block=32)
+
+    @jax.jit
+    def run_bf16(ids, media, mask, px):
+        out, _ = _generate_impl(params_bf16, config, dc, FAST, ids, media,
+                                mask, None, px, jax.random.PRNGKey(0))
+        return out
+
+    @jax.jit
+    def run_int8(ids, media, mask, px):
+        out, _ = _generate_impl(params_int8, config, dc, FAST, ids, media,
+                                mask, None, px, jax.random.PRNGKey(0))
+        return out
+
+    n_batches = (args.captions + args.batch - 1) // args.batch
+    ident_caps = ident_toks = total_toks = 0
+    first_div = []
+    for bi in range(n_batches):
+        rs = np.random.RandomState(1000 + bi)
+        ids = jnp.asarray(rs.randint(0, 1000, (args.batch, prompt_len)),
+                          jnp.int32)
+        media = jnp.zeros((args.batch, prompt_len), jnp.int32).at[:, 0].set(1)
+        mask = jnp.ones((args.batch, prompt_len), jnp.int32)
+        px = jnp.asarray(rs.randn(args.batch, 1, 3, arch.image_size,
+                                  arch.image_size), jnp.bfloat16)
+        a = np.asarray(run_bf16(ids, media, mask, px))[:, prompt_len:]
+        b = np.asarray(run_int8(ids, media, mask, px))[:, prompt_len:]
+        same = a == b
+        ident_caps += int(same.all(axis=1).sum())
+        ident_toks += int(same.sum())
+        total_toks += same.size
+        for row in range(args.batch):
+            if not same[row].all():
+                first_div.append(int(np.argmax(~same[row])))
+
+    n = n_batches * args.batch
+    hist_edges = [e for e in (0, 1, 2, 4, 8, 16, 32, 64, 128)
+                  if e < args.decode_tokens] + [args.decode_tokens]
+    hist, _ = np.histogram(first_div, bins=hist_edges)
+    result = {
+        "model": config.lm,
+        "captions": n,
+        "decode_tokens": args.decode_tokens,
+        "identical_captions_pct": round(100.0 * ident_caps / n, 2),
+        "identical_tokens_pct": round(100.0 * ident_toks / total_toks, 3),
+        "first_divergence_hist": {
+            f"[{hist_edges[i]},{hist_edges[i+1]})": int(hist[i])
+            for i in range(len(hist))},
+        "weights": "random-init (zero egress); trained-weight divergence "
+                   "expected lower (larger logit margins)",
+        "note": "prefix_block is bitwise-exact; this measures int8 "
+                "weight-only (LM + gated xattn) alone",
+    }
+    print(json.dumps(result, indent=2))
+    if not args.smoke:
+        with open(os.path.join(REPO, "BENCH_FIDELITY.json"), "w") as f:
+            json.dump(result, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
