@@ -269,8 +269,8 @@ class FlamingoModel:
         context_mesh=None,
     ) -> F.FlamingoOutput:
         """``context_mesh``: route LM self-attention through ring attention
-        (context parallelism for long sequences; causal-only, so
-        attention_mask must be None)."""
+        (context parallelism for long sequences; padding masks supported —
+        mask chunks rotate around the ring with K/V)."""
         return F.forward(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy,

@@ -216,8 +216,10 @@ def apply_lm(
     preallocated buffer).
     ``context_mesh``: route self-attention through ring attention with the
     sequence sharded over ``context_axis`` (context parallelism for
-    sequences whose O(n^2) score matrix won't fit one device; causal-only,
-    so attention_mask must be None)."""
+    sequences whose O(n^2) score matrix won't fit one device; padding masks
+    are supported — their chunks rotate around the ring with K/V). Full
+    sequences only (no decode cache); see BENCH.md for the memory/compute
+    story."""
     lm_arch = config.lm_arch
     if isinstance(lm_arch, GPT2Arch):
         hidden, new_cache = gpt2.apply_gpt2(

@@ -104,6 +104,7 @@ def _self_attention(
     kv_limit: Optional[int] = None,   # static: attend only cache[:kv_limit]
     ring_mesh=None,                   # context parallelism: shard the seq dim
     ring_axis: str = "data",
+    ring_pad_mask: Optional[jnp.ndarray] = None,  # (b, n) 1=real, 0=pad
     beam_anc: Optional[jnp.ndarray] = None,  # (b, kb, max_len) ancestry table
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     h = layer_norm(x, bp["ln_1"], eps)
@@ -155,7 +156,8 @@ def _self_attention(
         # O(n^2) score matrix lives chunked per device
         from ..parallel.ring_attention import ring_attention
         out = ring_attention(q, k, v, mesh=ring_mesh, axis_name=ring_axis,
-                             scale=1.0 / (d_head ** 0.5))
+                             scale=1.0 / (d_head ** 0.5),
+                             attention_mask=ring_pad_mask)
     elif layer_cache is None and policy.pallas and dropout_rng is None:
         # full-sequence path -> Pallas fused attention (causal in-kernel,
         # padding as a per-batch row bias); dropout forces the XLA path
@@ -232,16 +234,18 @@ def apply_gpt2(
         causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
 
     pad_bias = None
+    ring_pad_mask = None
     if attention_mask is not None:
         if ring_mesh is not None:
-            raise ValueError(
-                "ring (context-parallel) attention is causal-only; pass "
-                "attention_mask=None (use unpadded sequences)")
-        neg = jnp.finfo(jnp.float32).min
-        am = attention_mask if attention_mask.shape[-1] == n_kv \
-            else attention_mask[:, :n_kv]
-        pad_bias = jnp.where(am[:, None, None, :].astype(bool),
-                             0.0, neg).astype(policy.dtype)
+            # the padding mask is sharded over the sequence axis and its
+            # chunks rotate around the ring with K/V (ring_attention)
+            ring_pad_mask = attention_mask
+        else:
+            neg = jnp.finfo(jnp.float32).min
+            am = attention_mask if attention_mask.shape[-1] == n_kv \
+                else attention_mask[:, :n_kv]
+            pad_bias = jnp.where(am[:, None, None, :].astype(bool),
+                                 0.0, neg).astype(policy.dtype)
 
     new_cache: Optional[Cache] = [] if cache is not None else None
     from ..ops.layers import dropout as _dropout
@@ -263,6 +267,7 @@ def apply_gpt2(
             kv_limit=kv_limit,
             ring_mesh=ring_mesh,
             ring_axis=ring_axis,
+            ring_pad_mask=ring_pad_mask,
             beam_anc=beam_anc,
         )
         if rng_i is not None:

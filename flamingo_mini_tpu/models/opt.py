@@ -116,10 +116,9 @@ def apply_opt(
     else:
         n_full = n_kv = n
 
-    if ring_mesh is not None and attention_mask is not None:
-        raise ValueError(
-            "ring (context-parallel) attention is causal-only; pass "
-            "attention_mask=None (use unpadded sequences)")
+    # ring path: the padding mask is sharded over the sequence axis and its
+    # chunks rotate around the ring with K/V (parallel/ring_attention.py)
+    ring_pad_mask = attention_mask if ring_mesh is not None else None
     if attention_mask is None:
         attention_mask = jnp.ones((b, n_full), jnp.int32)
     if position_ids is None:
@@ -206,7 +205,7 @@ def apply_opt(
         elif cache is None and ring_mesh is not None:
             from ..parallel.ring_attention import ring_attention
             out = ring_attention(q, k, v, mesh=ring_mesh, axis_name=ring_axis,
-                                 scale=scale)
+                                 scale=scale, attention_mask=ring_pad_mask)
         elif cache is None and policy.pallas and rng_i is None:
             from ..ops.pallas_attn import fused_attention
             row = jnp.where(attention_mask.astype(bool), 0.0, neg

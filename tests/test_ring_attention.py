@@ -10,12 +10,14 @@ from flamingo_mini_tpu.parallel import create_mesh
 from flamingo_mini_tpu.parallel.ring_attention import ring_attention
 
 
-def _reference_causal(q, k, v, scale):
+def _reference_causal(q, k, v, scale, pad_mask=None):
     n = q.shape[2]
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale
-    mask = jnp.arange(n)[None, :] <= jnp.arange(n)[:, None]
-    s = jnp.where(mask[None, None], s, jnp.finfo(jnp.float32).min)
+    mask = (jnp.arange(n)[None, :] <= jnp.arange(n)[:, None])[None, None]
+    if pad_mask is not None:
+        mask = mask & pad_mask[:, None, None, :].astype(bool)
+    s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
 
@@ -35,6 +37,33 @@ def test_ring_matches_single_device(n):
     want = _reference_causal(q, k, v, d ** -0.5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_ring_with_padding_mask():
+    """Padding-mask chunks ride the ring with K/V: masked ring == masked
+    single-device attention (mixed left/right padding, HF convention)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh((8, 1))
+    b, h, n, d = 3, 4, 64, 32
+    rs = np.random.RandomState(7)
+    q = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    am = np.ones((b, n), np.int32)
+    am[0, -9:] = 0                    # right padding
+    am[1, :11] = 0                    # left padding
+    am = jnp.asarray(am)
+
+    got = ring_attention(q, k, v, mesh=mesh, attention_mask=am)
+    want = _reference_causal(q, k, v, d ** -0.5, pad_mask=am)
+    # rows whose every causally-visible key is padded are degenerate in both
+    # implementations; compare only well-defined rows
+    ok = np.asarray((jnp.cumsum(am, axis=1) > 0) & am.astype(bool))
+    got, want = np.asarray(got), np.asarray(want)
+    for row in range(b):
+        np.testing.assert_allclose(got[row][:, ok[row]], want[row][:, ok[row]],
+                                   atol=2e-5, rtol=2e-5)
 
 
 def test_ring_gradients():
@@ -89,11 +118,17 @@ def test_ring_through_full_flamingo_trunk():
                                np.asarray(want.logits), atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(float(got.loss), float(want.loss), rtol=1e-5)
 
-    # padded input must be rejected (ring is causal-only)
-    with pytest.raises(ValueError):
-        model.forward(ids, media_locations=media, pixel_values=px,
-                      attention_mask=np.ones((b, n), np.int32),
-                      context_mesh=mesh)
+    # padded input: the mask chunks rotate around the ring with K/V; logits
+    # must match the standard (pad_bias) path on the same padded batch
+    am = np.ones((b, n), np.int32)
+    am[0, -5:] = 0                    # right padding, row 0
+    want_p = model.forward(ids, media_locations=media, pixel_values=px,
+                           attention_mask=am)
+    got_p = model.forward(ids, media_locations=media, pixel_values=px,
+                          attention_mask=am, context_mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got_p.logits),
+                               np.asarray(want_p.logits),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_ring_through_opt_trunk():
@@ -118,3 +153,15 @@ def test_ring_through_opt_trunk():
     got = model.forward(ids, labels=ids, context_mesh=mesh)
     np.testing.assert_allclose(np.asarray(got.logits),
                                np.asarray(want.logits), atol=2e-5, rtol=2e-5)
+
+    # padded (OPT positions are mask-cumsum — both paths must agree at every
+    # REAL position; fully-masked pad-query rows are degenerate garbage in
+    # both implementations and are ignored by every consumer)
+    am = np.ones((2, 32), np.int32)
+    am[1, :6] = 0                     # left padding, HF OPT convention
+    want_p = model.forward(ids, attention_mask=am)
+    got_p = model.forward(ids, attention_mask=am, context_mesh=mesh)
+    real = am.astype(bool)
+    np.testing.assert_allclose(np.asarray(got_p.logits)[real],
+                               np.asarray(want_p.logits)[real],
+                               atol=2e-5, rtol=2e-5)
