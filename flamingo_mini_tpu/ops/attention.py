@@ -58,8 +58,21 @@ def attend_beam_lazy(
     ``anc[b, i, t] == j`` — the row that logically owns position ``t``. The
     permutation rides in a boolean mask (free: fused into the softmax chain)
     instead of HBM traffic; K/V are read once, nothing is written back. The
-    score matmul grows ``kb``× in FLOPs, which is noise in the
+    score compute grows ``kb``× in FLOPs, which is noise in the
     bandwidth-bound decode regime.
+
+    LAYOUT/LOWERING-CRITICAL (measured on TPU v5e, flamingo-mini beam-3
+    bs=32): the cross-beam scores must be computed as ``kb`` SEPARATE
+    rows-1 einsums ("Bhd,Bhtd->Bht"), one per beam offset — XLA
+    multi-output-fuses them into a single streaming pass over the K/V cache
+    (+1.4 ms/step over plain decode attention for kb=3). Every "natural"
+    alternative is catastrophically slower inside the decode loop:
+    a 5-D batched einsum over a split (b, beam) axis forces a physical
+    relayout COPY of the whole sliced cache per layer per step, and even a
+    layout-clean packed (B, h, kb, d) x (B, h, T, d) dot lowers to ~1536
+    tiny MXU matmuls instead of the streaming reduce (+17 ms/step either
+    way). All ancestry masking / joint softmax below runs on score-sized
+    (~1 MB) tensors; only the rows-1 einsums touch the cache.
 
     Exactness: every valid (i, t) score is the same dot product the gathered
     layout would compute; masked entries softmax to exact 0.0 in fp32, so the
@@ -79,30 +92,51 @@ def attend_beam_lazy(
     b, kb = anc.shape[0], anc.shape[1]
     assert b * kb == bk, (b, kb, bk)
     qr = q.reshape(b, kb, h, d)
-    kr = k.reshape(b, kb, h, T, d)
-    vr = v.reshape(b, kb, h, T, d)
-    sim = jnp.einsum("bihd,bjhtd->bhijt", qr, kr, precision=precision,
-                     preferred_element_type=jnp.float32).astype(dtype)
+    ar = jnp.arange(kb)
+    # scores, one streaming rows-1 pass per beam offset o: physical row
+    # r = (b, j) scores the query of logical beam i = (j + o) % kb
+    sims = []                                                   # o -> (b,j,h,t)
+    for o in range(kb):
+        qo = qr[:, (ar + o) % kb].reshape(bk, h, d)
+        so = jnp.einsum("Bhd,Bhtd->Bht", qo, k, precision=precision,
+                        preferred_element_type=jnp.float32)
+        sims.append(so.reshape(b, kb, h, T))
+    # logical layout (b, i, h, j, t): sim for (i, j) sits in pass o=(i-j)%kb
+    sim_l = jnp.stack([
+        jnp.stack([sims[(i - j) % kb][:, j] for j in range(kb)], axis=2)
+        for i in range(kb)], axis=1)                            # (b,i,h,j,t)
     if scale is not None:
-        sim = sim * jnp.asarray(scale, dtype)
+        sim_l = sim_l * jnp.asarray(scale, jnp.float32)
     valid = anc[:, :, :T][:, :, None, :] == \
-        jnp.arange(kb, dtype=anc.dtype)[None, None, :, None]   # (b, i, j, t)
-    mask = valid[:, None]                                       # (b,1,i,j,t)
+        ar[None, None, :, None]                                 # (b, i, j, t)
+    mask = valid[:, :, None]                                    # (b, i, 1, j, t)
     if causal is not None:
         mask = mask & jnp.reshape(causal, causal.shape[-1:])    # broadcast t
-    neg = jnp.asarray(jnp.finfo(dtype).min, dtype)
-    sim = jnp.where(mask, sim, neg)
+    neg = jnp.float32(jnp.finfo(jnp.float32).min)
+    sim_l = jnp.where(mask, sim_l, neg)
     if bias is not None:
         # padding bias per logical query row i (beam-invariant over j)
-        sim = sim + jnp.swapaxes(
-            bias.astype(dtype).reshape(b, kb, 1, 1, T), 1, 2)
-    sim = jnp.maximum(sim, neg)
-    flat = sim.reshape(b, h, kb, kb * T)
-    alphas = jax.nn.softmax(flat.astype(jnp.float32), axis=-1).astype(dtype)
-    alphas = alphas.reshape(b, h, kb, kb, T)
-    out = jnp.einsum("bhijt,bjhtd->bihd", alphas, vr, precision=precision,
-                     preferred_element_type=jnp.float32).astype(dtype)
-    return out.reshape(bk, h, 1, d)
+        sim_l = sim_l + bias.astype(jnp.float32).reshape(b, kb, 1, 1, T)
+    sim_l = jnp.maximum(sim_l, neg)
+    # joint softmax over (j, t) per logical beam i, fp32
+    m = jnp.max(sim_l, axis=(3, 4), keepdims=True)
+    p = jnp.exp(sim_l - m)
+    p = jnp.where(mask, p, 0.0)
+    l = jnp.sum(p, axis=(3, 4), keepdims=True)
+    al = p / jnp.maximum(l, jnp.float32(1e-30))                 # (b,i,h,j,t)
+    # output: one streaming rows-1 pass per offset; pass o weights row
+    # r = (b, j) by logical beam i = (j + o) % kb's alphas for that row
+    out = jnp.zeros((b, kb, h, d), jnp.float32)
+    for o in range(kb):
+        ao = jnp.stack([al[:, (j + o) % kb, :, j, :]            # (b, h, t)
+                        for j in range(kb)], axis=1)            # (b, j, h, t)
+        oo = jnp.einsum("Bht,Bhtd->Bhd", ao.reshape(bk, h, T).astype(dtype),
+                        v, precision=precision,
+                        preferred_element_type=jnp.float32)     # (B, h, d)
+        # contribution of row j lands on logical beam i = (j + o) % kb
+        oo = oo.reshape(b, kb, h, d)
+        out = out.at[:, (ar + o) % kb].add(oo)
+    return out.astype(dtype).reshape(bk, h, d)[:, :, None, :]
 
 
 def attend(
