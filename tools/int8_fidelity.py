@@ -83,13 +83,14 @@ def main():
     dc = DecodeConfig(max_length=prompt_len + args.decode_tokens,
                       eos_token_id=10**9, pad_token_id=0, prefix_block=32)
 
-    @jax.jit
+    # NB: _generate_impl is itself jitted (params are a traced ARGUMENT);
+    # wrapping it in another jit here would capture the ~700 MB param pytree
+    # as closure constants and stall compilation for good.
     def run_bf16(ids, media, mask, px):
         out, _ = _generate_impl(params_bf16, config, dc, FAST, ids, media,
                                 mask, None, px, jax.random.PRNGKey(0))
         return out
 
-    @jax.jit
     def run_int8(ids, media, mask, px):
         out, _ = _generate_impl(params_int8, config, dc, FAST, ids, media,
                                 mask, None, px, jax.random.PRNGKey(0))
