@@ -365,11 +365,18 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     done = jnp.zeros((b, G), bool)
     rank2 = jnp.arange(2 * kg) < kg                  # candidate rank < kg
     rows_b = jnp.arange(b)[:, None]
+    lazy = dc.beam_reorder == "lazy"
+    # ancestor-indexed reorder across ALL k beams (groups share the physical
+    # cache; parent_global already indexes the full beam axis) — see
+    # _beam_impl / ops.attention.attend_beam_lazy
+    anc = jnp.tile(jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                   (b, 1, max_len))
+    own_row = jnp.arange(k, dtype=jnp.int32)[None, :]
 
     def step(state, logp_bkV, cur):
         """Fill position ``cur`` from (b, k, V) log-probs, group by group."""
         (tokens, mask_buf, cache, run_scores,
-         fin_seq, fin_scores, fin_flags, done) = state
+         fin_seq, fin_scores, fin_flags, done, anc) = state
         rows4 = tokens.reshape(b, G, kg, max_len)
         mask4 = mask_buf.reshape(b, G, kg, max_len)
         counts = jnp.zeros((b, vocab), jnp.float32)
@@ -447,11 +454,16 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         tokens = tokens.reshape(b, k, max_len).at[:, :, cur].set(tok_global)\
                        .reshape(b * k, max_len)
         mask_buf = mask_buf.at[:, cur].set(1)
-        cache = jax.tree_util.tree_map(
-            lambda x: _gather_beams(x, parent_global, b, k), cache)
+        if lazy:
+            anc = jnp.take_along_axis(anc, parent_global[:, :, None], axis=1)
+            anc = anc.at[:, :, cur].set(own_row)
+        else:
+            cache = jax.tree_util.tree_map(
+                lambda x: _gather_beams(x, parent_global, b, k), cache)
         return (tokens, mask_buf, cache, jnp.stack(new_rs_g, axis=1),
                 jnp.stack(new_fseq_g, axis=1), jnp.stack(new_fsc_g, axis=1),
-                jnp.stack(new_ffl_g, axis=1), jnp.stack(new_done_g, axis=1))
+                jnp.stack(new_ffl_g, axis=1), jnp.stack(new_done_g, axis=1),
+                anc)
 
     def _logp_rows(logits_2d):
         return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
@@ -460,7 +472,7 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     logp0 = jnp.broadcast_to(_logp_rows(next_logits)[:, None, :],
                              (b, k, vocab))
     state = (tokens, mask_buf, cache, run_scores,
-             fin_seq, fin_scores, fin_flags, done)
+             fin_seq, fin_scores, fin_flags, done, anc)
     state = step(state, logp0, jnp.asarray(L, jnp.int32))
 
     def cond(carry):
@@ -475,7 +487,8 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
             params, config, prev_tok, policy=policy,
             layer_hook=decode_hook, attention_mask=mask_buf,
             position_ids=pos_next + (cur - 1 - L),
-            cache=cache, cache_index=cur - 1)
+            cache=cache, cache_index=cur - 1,
+            beam_anc=state[8] if lazy else None)
         state = (tokens, mask_buf, cache) + state[3:]
         logp = _logp_rows(logits[:, -1]).reshape(b, k, vocab)
         state = step(state, logp, cur)
@@ -484,7 +497,7 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     state, cur = lax.while_loop(cond, body, (state, jnp.asarray(L + 1,
                                                                 jnp.int32)))
     (tokens, _mask, _cache, run_scores,
-     fin_seq, fin_scores, fin_flags, done) = state
+     fin_seq, fin_scores, fin_flags, done, _anc) = state
 
     # ---- finalize (BeamSearchScorer.finalize): non-done groups absorb
     # their kg running beams, penalized by the final generated length ------

@@ -215,3 +215,21 @@ def test_group_beam_validation():
         DecodeConfig(num_beams=4, num_beam_groups=2, do_sample=True)
     with pytest.raises(ValueError):
         DecodeConfig(num_beams=4, diversity_penalty=0.5)  # needs groups
+
+
+def test_group_beam_lazy_equals_gather(gpt2_pair):  # noqa: F811
+    """The ancestor-indexed (lazy) cache reorder must be token-identical to
+    the physical gather in diverse/group beam search too (same invariant as
+    plain beam, tests/test_beam_search.py)."""
+    _, params, config = gpt2_pair
+    b, n, max_length = 2, 5, 16
+    rs = np.random.RandomState(77)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    kw = dict(max_length=max_length, eos_token_id=128, pad_token_id=128,
+              num_beams=4, num_beam_groups=2, diversity_penalty=0.7,
+              num_return_sequences=4)
+    got_lazy = _jax_group_beam(params, config, input_ids,
+                               beam_reorder="lazy", **kw)
+    got_gather = _jax_group_beam(params, config, input_ids,
+                                 beam_reorder="gather", **kw)
+    np.testing.assert_array_equal(got_lazy, got_gather)
