@@ -221,11 +221,14 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         """Per-row log-probs; beam-sampling applies the HF warper chain
         (temperature/top-k/top-p) to each beam's logits first."""
         if dc.do_sample and (dc.temperature != 1.0 or dc.top_k > 0
-                             or dc.top_p < 1.0):
+                             or dc.top_p < 1.0 or dc.min_p > 0.0
+                             or dc.typical_p < 1.0 or dc.epsilon_cutoff > 0.0
+                             or dc.eta_cutoff > 0.0):
             from .generation import apply_logit_filters
             logits_2d = apply_logit_filters(
                 logits_2d, temperature=dc.temperature, top_k=dc.top_k,
-                top_p=dc.top_p)
+                top_p=dc.top_p, min_p=dc.min_p, typical_p=dc.typical_p,
+                epsilon_cutoff=dc.epsilon_cutoff, eta_cutoff=dc.eta_cutoff)
         return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
 
     # ---- fill position L from the (shared) prefill logits ------------------

@@ -51,6 +51,12 @@ class DecodeConfig:
     top_k: int = 0            # 0 = disabled
     top_p: float = 1.0        # 1.0 = disabled
     temperature: float = 1.0
+    # further HF sampling warpers (chain order matches
+    # GenerationMixin._get_logits_processor; see apply_logit_filters)
+    min_p: float = 0.0        # 0.0 = disabled (MinPLogitsWarper)
+    typical_p: float = 1.0    # 1.0 = disabled (TypicalLogitsWarper)
+    epsilon_cutoff: float = 0.0   # 0.0 = disabled (EpsilonLogitsWarper)
+    eta_cutoff: float = 0.0       # 0.0 = disabled (EtaLogitsWarper)
     repetition_penalty: float = 1.0   # HF RepetitionPenaltyLogitsProcessor
     num_beams: int = 1
     length_penalty: float = 1.0
@@ -169,9 +175,13 @@ def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
 
 
 def apply_logit_filters(logits: jnp.ndarray, *, temperature: float = 1.0,
-                        top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
-    """Temperature / top-k / top-p filtering with exact HF warper semantics
-    (TemperatureLogitsWarper -> TopKLogitsWarper -> TopPLogitsWarper).
+                        top_k: int = 0, top_p: float = 1.0,
+                        min_p: float = 0.0, typical_p: float = 1.0,
+                        epsilon_cutoff: float = 0.0,
+                        eta_cutoff: float = 0.0) -> jnp.ndarray:
+    """Sampling warper chain with exact HF semantics and HF's chain order
+    (GenerationMixin._get_logits_processor): Temperature -> TopK -> TopP ->
+    MinP -> Typical -> Epsilon -> Eta; all with min_tokens_to_keep=1.
 
     Top-p (HF): sort ascending, remove tokens whose ascending cumulative
     softmax <= 1 - top_p, always keeping at least the best token.
@@ -192,6 +202,55 @@ def apply_logit_filters(logits: jnp.ndarray, *, temperature: float = 1.0,
         remove_sorted = remove_sorted.at[:, -1].set(False)      # keep >= 1
         inv = jnp.argsort(sorted_idx, axis=-1)
         remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        logits = jnp.where(remove, neg, logits)
+    if min_p > 0.0:
+        # HF MinPLogitsWarper: threshold scales with the top probability
+        probs = jax.nn.softmax(logits, axis=-1)
+        thresh = min_p * jnp.max(probs, axis=-1, keepdims=True)
+        remove = probs < thresh
+        best = jnp.argmax(logits, axis=-1)                      # keep >= 1
+        remove = remove.at[jnp.arange(logits.shape[0]), best].set(False)
+        logits = jnp.where(remove, neg, logits)
+    if typical_p < 1.0:
+        # HF TypicalLogitsWarper: keep the smallest "locally typical" set —
+        # tokens sorted by |(-log p) - entropy| ascending — whose cumulative
+        # probability reaches the mass
+        normalized = jax.nn.log_softmax(logits, axis=-1)
+        p = jnp.exp(normalized)
+        plogp = jnp.where(p > 0, normalized * p, 0.0)           # nansum
+        ent = -jnp.sum(plogp, axis=-1, keepdims=True)
+        shifted = jnp.abs((-normalized) - ent)
+        order = jnp.argsort(shifted, axis=-1)                   # ascending
+        sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+        last_ind = jnp.minimum(jnp.sum(cum < typical_p, axis=-1),
+                               logits.shape[-1] - 1)
+        cutoff = jnp.take_along_axis(sorted_shifted, last_ind[:, None],
+                                     axis=-1)
+        remove_sorted = sorted_shifted > cutoff
+        remove_sorted = remove_sorted.at[:, 0].set(False)       # keep >= 1
+        inv = jnp.argsort(order, axis=-1)
+        remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+        logits = jnp.where(remove, neg, logits)
+    if epsilon_cutoff > 0.0:
+        # HF EpsilonLogitsWarper: drop tokens with probability < epsilon,
+        # always keeping the best token
+        probs = jax.nn.softmax(logits, axis=-1)
+        remove = (probs < epsilon_cutoff) & \
+            (logits < jnp.max(logits, axis=-1, keepdims=True))
+        logits = jnp.where(remove, neg, logits)
+    if eta_cutoff > 0.0:
+        # HF EtaLogitsWarper: entropy-adaptive cutoff
+        # eta = min(epsilon, sqrt(epsilon) * exp(-H))
+        probs = jax.nn.softmax(logits, axis=-1)
+        normalized = jax.nn.log_softmax(logits, axis=-1)
+        plogp = jnp.where(probs > 0, normalized * probs, 0.0)
+        ent = -jnp.sum(plogp, axis=-1, keepdims=True)
+        eta = jnp.minimum(eta_cutoff,
+                          jnp.sqrt(jnp.float32(eta_cutoff)) * jnp.exp(-ent))
+        remove = (probs < eta) & \
+            (logits < jnp.max(logits, axis=-1, keepdims=True))
         logits = jnp.where(remove, neg, logits)
     return logits
 
@@ -332,7 +391,10 @@ def _select_token(logits, dc: DecodeConfig, key):
     if not dc.do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = apply_logit_filters(logits, temperature=dc.temperature,
-                                 top_k=dc.top_k, top_p=dc.top_p)
+                                 top_k=dc.top_k, top_p=dc.top_p,
+                                 min_p=dc.min_p, typical_p=dc.typical_p,
+                                 epsilon_cutoff=dc.epsilon_cutoff,
+                                 eta_cutoff=dc.eta_cutoff)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

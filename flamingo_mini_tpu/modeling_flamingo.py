@@ -302,6 +302,10 @@ class FlamingoModel:
         top_k: int = 0,
         top_p: float = 1.0,
         temperature: float = 1.0,
+        min_p: float = 0.0,
+        typical_p: float = 1.0,
+        epsilon_cutoff: float = 0.0,
+        eta_cutoff: float = 0.0,
         repetition_penalty: float = 1.0,
         length_penalty: float = 1.0,
         early_stopping: bool = True,
@@ -337,7 +341,9 @@ class FlamingoModel:
             max_length=max_length, max_new_tokens=max_new_tokens,
             eos_token_id=eos, pad_token_id=pad,
             do_sample=do_sample, top_k=top_k, top_p=top_p,
-            temperature=temperature, repetition_penalty=repetition_penalty,
+            temperature=temperature, min_p=min_p, typical_p=typical_p,
+            epsilon_cutoff=epsilon_cutoff, eta_cutoff=eta_cutoff,
+            repetition_penalty=repetition_penalty,
             num_beams=num_beams,
             length_penalty=length_penalty, early_stopping=early_stopping,
             min_length=min_length, min_new_tokens=min_new_tokens,

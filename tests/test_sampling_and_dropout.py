@@ -109,3 +109,51 @@ def test_opt_dropout_rng_gated():
                             dropout_rng=jax.random.PRNGKey(3))
     assert float(base.loss) != float(drop.loss)
     assert np.isfinite(float(drop.loss))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(min_p=0.2),
+    dict(min_p=0.05),
+    dict(typical_p=0.9),
+    dict(typical_p=0.5),
+    dict(epsilon_cutoff=0.02),
+    dict(eta_cutoff=0.01),
+    dict(top_k=20, typical_p=0.8),
+    dict(temperature=0.7, min_p=0.1, epsilon_cutoff=0.01),
+])
+def test_extended_warpers_match_hf(kw):
+    """min_p / typical_p / epsilon_cutoff / eta_cutoff vs the HF warpers,
+    chained in HF's _get_logits_processor order."""
+    from transformers.generation.logits_process import (
+        EpsilonLogitsWarper, EtaLogitsWarper, MinPLogitsWarper,
+        TemperatureLogitsWarper, TopKLogitsWarper, TypicalLogitsWarper)
+    from flamingo_mini_tpu.generation import apply_logit_filters
+
+    full = dict(temperature=1.0, top_k=0, top_p=1.0, min_p=0.0,
+                typical_p=1.0, epsilon_cutoff=0.0, eta_cutoff=0.0)
+    full.update(kw)
+    rs = np.random.RandomState(7)
+    logits = rs.randn(5, 64).astype(np.float32) * 3
+
+    t = torch.tensor(logits)
+    if full["temperature"] != 1.0:
+        t = TemperatureLogitsWarper(full["temperature"])(None, t)
+    if full["top_k"] > 0:
+        t = TopKLogitsWarper(full["top_k"])(None, t)
+    if full["min_p"] > 0:
+        t = MinPLogitsWarper(full["min_p"])(None, t)
+    if full["typical_p"] < 1.0:
+        t = TypicalLogitsWarper(mass=full["typical_p"])(None, t)
+    if full["epsilon_cutoff"] > 0:
+        t = EpsilonLogitsWarper(full["epsilon_cutoff"])(None, t)
+    if full["eta_cutoff"] > 0:
+        # HF's EtaLogitsWarper wants a python float; device arg optional
+        t = EtaLogitsWarper(full["eta_cutoff"])(None, t)
+    hf_allowed = torch.isfinite(t).numpy()
+
+    ours = np.asarray(apply_logit_filters(jnp.asarray(logits), **full))
+    ours_allowed = ours > np.finfo(np.float32).min / 2
+    np.testing.assert_array_equal(ours_allowed, hf_allowed)
+    np.testing.assert_allclose(np.where(ours_allowed, ours, 0),
+                               np.where(hf_allowed, t.numpy(), 0),
+                               atol=1e-5, rtol=1e-5)
