@@ -57,6 +57,9 @@ class DecodeConfig:
     typical_p: float = 1.0    # 1.0 = disabled (TypicalLogitsWarper)
     epsilon_cutoff: float = 0.0   # 0.0 = disabled (EpsilonLogitsWarper)
     eta_cutoff: float = 0.0       # 0.0 = disabled (EtaLogitsWarper)
+    # contrastive search (HF: penalty_alpha > 0 with top_k > 1 candidates;
+    # see contrastive.py)
+    penalty_alpha: float = 0.0
     repetition_penalty: float = 1.0   # HF RepetitionPenaltyLogitsProcessor
     num_beams: int = 1
     length_penalty: float = 1.0
@@ -119,6 +122,16 @@ class DecodeConfig:
             raise ValueError(
                 f"beam_reorder must be 'gather' or 'lazy', "
                 f"got {self.beam_reorder!r}")
+        if self.penalty_alpha > 0.0:
+            if self.top_k <= 1:
+                raise ValueError(
+                    "contrastive search (penalty_alpha > 0) needs top_k > 1 "
+                    "candidate tokens (HF semantics)")
+            if self.do_sample or self.num_beams > 1:
+                raise ValueError(
+                    "contrastive search is a deterministic single-beam "
+                    "strategy; do_sample/num_beams are incompatible "
+                    "(HF semantics)")
 
 
 def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype,
@@ -130,10 +143,13 @@ def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype,
 
 
 def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
-             input_ids, media_locations, attention_mask, visual_features):
+             input_ids, media_locations, attention_mask, visual_features,
+             with_hidden: bool = False):
     """Run the prompt through the model, filling the LM cache.
 
-    Returns (next_logits, lm_cache, xattn_kv, state dict of per-row values).
+    Returns (next_logits, lm_cache, xattn_kv, state dict of per-row values);
+    with ``with_hidden`` the state dict gains "prompt_hidden" (b, L, D) —
+    the final-LN trunk states contrastive search's penalty runs against.
     """
     b, L = input_ids.shape
     max_len = dc.max_length
@@ -158,10 +174,12 @@ def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
     # position ids from the attention mask (pads don't advance positions),
     # matching HF generate's prepare for decoder-only models
     pos = jnp.clip(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
-    logits, cache = flamingo.apply_lm(
+    out = flamingo.apply_lm(
         params, config, input_ids, policy=policy, layer_hook=hook,
         attention_mask=mask_buf, position_ids=pos,
-        cache=cache, cache_index=jnp.asarray(0, jnp.int32))
+        cache=cache, cache_index=jnp.asarray(0, jnp.int32),
+        with_hidden=with_hidden)
+    logits, cache = out[0], out[1]
 
     next_logits = logits[:, -1]  # left-padded: last slot is the newest token
     state = {
@@ -171,6 +189,8 @@ def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
         "media_count": text_time[:, -1:],                      # (b, 1)
         "pos_next": attention_mask.astype(jnp.int32).sum(-1, keepdims=True),  # (b, 1)
     }
+    if with_hidden:
+        state["prompt_hidden"] = out[2]
     return next_logits, xattn_kv, state
 
 
@@ -585,6 +605,13 @@ def generate(
         return beam_generate(params, config, dc, policy, input_ids,
                              media_locations, attention_mask, visual_features,
                              pixel_values=pixel_values, rng=rng)
+
+    if dc.penalty_alpha > 0.0:
+        from .contrastive import contrastive_generate
+        return contrastive_generate(params, config, dc, policy, input_ids,
+                                    media_locations, attention_mask,
+                                    visual_features,
+                                    pixel_values=pixel_values)
 
     tokens, _n = _generate_impl(params, config, dc, policy, input_ids,
                                 media_locations, attention_mask,

@@ -306,6 +306,7 @@ class FlamingoModel:
         typical_p: float = 1.0,
         epsilon_cutoff: float = 0.0,
         eta_cutoff: float = 0.0,
+        penalty_alpha: float = 0.0,
         repetition_penalty: float = 1.0,
         length_penalty: float = 1.0,
         early_stopping: bool = True,
@@ -343,6 +344,7 @@ class FlamingoModel:
             do_sample=do_sample, top_k=top_k, top_p=top_p,
             temperature=temperature, min_p=min_p, typical_p=typical_p,
             epsilon_cutoff=epsilon_cutoff, eta_cutoff=eta_cutoff,
+            penalty_alpha=penalty_alpha,
             repetition_penalty=repetition_penalty,
             num_beams=num_beams,
             length_penalty=length_penalty, early_stopping=early_stopping,

@@ -208,8 +208,11 @@ def apply_lm(
     context_mesh=None,
     context_axis: str = "data",
     beam_anc=None,
+    with_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
-    """Run the LM trunk + tied head. Returns (logits, new_cache).
+    """Run the LM trunk + tied head. Returns (logits, new_cache), or
+    (logits, new_cache, hidden) when ``with_hidden`` — the final-LN trunk
+    output (HF ``hidden_states[-1]``; contrastive search's penalty space).
 
     ``kv_limit`` (static int): attend only the first kv_limit cache slots —
     the live-prefix decode optimization (cache writes still land in the full
@@ -241,6 +244,8 @@ def apply_lm(
             beam_anc=beam_anc)
         logits = opt.lm_head(params["lm"], hidden, policy,
                              n_valid=lm_arch.vocab_size + 1)
+    if with_hidden:
+        return logits, new_cache, hidden
     return logits, new_cache
 
 
