@@ -60,6 +60,11 @@ class DecodeConfig:
     # contrastive search (HF: penalty_alpha > 0 with top_k > 1 candidates;
     # see contrastive.py)
     penalty_alpha: float = 0.0
+    # HF SequenceBiasLogitsProcessor: tuple of ((token ids...), bias) pairs
+    # (hashable; FlamingoModel.generate normalizes dicts/lists)
+    sequence_bias: Optional[tuple] = None
+    # HF ExponentialDecayLengthPenalty: (start_index, decay_factor)
+    exponential_decay_length_penalty: Optional[tuple] = None
     repetition_penalty: float = 1.0   # HF RepetitionPenaltyLogitsProcessor
     num_beams: int = 1
     length_penalty: float = 1.0
@@ -324,6 +329,30 @@ def _no_repeat_ngram(logits, tokens, idx, n: int):
     return jnp.where(banned, neg, logits)
 
 
+def _sequence_bias(logits, tokens, idx, seq_bias):
+    """HF SequenceBiasLogitsProcessor: ``seq_bias`` is a static tuple of
+    ``((token ids...), bias)`` pairs. Length-1 sequences bias their token
+    unconditionally; longer ones bias the final token when the sequence so
+    far ends with the prefix AND the whole sequence fits the current length
+    (HF skips entries with ``len(seq) > cur_len``)."""
+    b, vocab = logits.shape
+    bias = jnp.zeros((b, vocab), jnp.float32)
+    for w, bv in seq_bias:
+        n = len(w)
+        if n == 0 or int(w[-1]) >= vocab:
+            continue
+        last = int(w[-1])
+        if n == 1:
+            bias = bias.at[:, last].add(jnp.float32(bv))
+            continue
+        prefix = jnp.asarray(w[:-1], jnp.int32)[None, :]
+        suffix = lax.dynamic_slice(
+            tokens, (jnp.asarray(0, idx.dtype), idx - (n - 1)), (b, n - 1))
+        match = jnp.all(suffix == prefix, axis=-1) & (idx >= n)
+        bias = bias.at[:, last].add(jnp.where(match, jnp.float32(bv), 0.0))
+    return logits + bias
+
+
 def _ban_bad_words(logits, tokens, idx, words):
     """HF NoBadWordsLogitsProcessor: a bad word ``w`` (a token-id sequence)
     bans its final token whenever the sequence so far ends with ``w[:-1]``;
@@ -346,7 +375,9 @@ def _ban_bad_words(logits, tokens, idx, words):
         prefix = jnp.asarray(w[:-1], jnp.int32)[None, :]        # (1, n-1)
         suffix = lax.dynamic_slice(
             tokens, (jnp.asarray(0, idx.dtype), idx - (n - 1)), (b, n - 1))
-        match = jnp.all(suffix == prefix, axis=-1) & (idx >= n - 1)
+        # HF (SequenceBias base class) skips words longer than the current
+        # length — idx >= n, not the n - 1 the prefix match alone needs
+        match = jnp.all(suffix == prefix, axis=-1) & (idx >= n)
         banned = banned.at[:, last].max(match)
     return jnp.where(banned, neg, logits)
 
@@ -371,12 +402,15 @@ def _suppress(logits, ids, when=True):
 
 def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
                    prompt_len: int):
-    """The HF logits-processor chain in HF's order (repetition penalty ->
-    no-repeat-ngram -> bad-words -> min-length -> forced-bos -> forced-eos ->
-    suppress -> begin-suppress; transformers generation/utils.py
-    _get_logits_processor), applied to (b, V) next-token logits. ``idx`` =
-    length of the sequence so far = the position being filled."""
+    """The HF logits-processor chain in HF's order (sequence-bias ->
+    repetition penalty -> no-repeat-ngram -> bad-words -> min-length ->
+    forced-bos -> forced-eos -> exponential-decay -> suppress ->
+    begin-suppress; transformers generation/utils.py _get_logits_processor),
+    applied to (b, V) next-token logits. ``idx`` = length of the sequence so
+    far = the position being filled."""
     logits = logits.astype(jnp.float32)
+    if dc.sequence_bias:
+        logits = _sequence_bias(logits, tokens, idx, dc.sequence_bias)
     if dc.repetition_penalty != 1.0:
         logits = _repetition_penalty(logits, tokens, mask,
                                      dc.repetition_penalty)
@@ -395,6 +429,17 @@ def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
         M = dc.max_length if dc.max_new_tokens is None else \
             min(dc.max_length, prompt_len + dc.max_new_tokens)
         logits = _force_token(logits, dc.forced_eos_token_id, idx == M - 1)
+    if dc.exponential_decay_length_penalty is not None:
+        # HF ExponentialDecayLengthPenalty: past regulation_start, the EOS
+        # logit gains |logit| * (factor^(len - start) - 1) per step
+        start, factor = dc.exponential_decay_length_penalty
+        reg_start = start + prompt_len
+        eos_logit = logits[:, dc.eos_token_id]
+        steps_past = (idx - reg_start).astype(jnp.float32)
+        pen = jnp.abs(eos_logit) * (
+            jnp.exp(jnp.log(jnp.float32(factor)) * steps_past) - 1.0)
+        logits = logits.at[:, dc.eos_token_id].add(
+            jnp.where(idx > reg_start, pen, 0.0))
     if dc.suppress_tokens:
         logits = _suppress(logits, dc.suppress_tokens)
     if dc.begin_suppress_tokens:

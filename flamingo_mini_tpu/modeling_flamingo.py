@@ -321,6 +321,8 @@ class FlamingoModel:
         forced_eos_token_id: Optional[int] = None,
         suppress_tokens=None,
         begin_suppress_tokens=None,
+        sequence_bias=None,
+        exponential_decay_length_penalty=None,
         eos_token_id: Optional[int] = None,
         pad_token_id: Optional[int] = None,
         rng: Optional[jax.Array] = None,
@@ -361,6 +363,16 @@ class FlamingoModel:
                 int(t) for t in suppress_tokens),
             begin_suppress_tokens=None if begin_suppress_tokens is None
             else tuple(int(t) for t in begin_suppress_tokens),
+            # HF accepts a dict {tuple(ids): bias} or list [[ids, bias]]
+            sequence_bias=None if sequence_bias is None else tuple(
+                (tuple(int(t) for t in w), float(v))
+                for w, v in (sequence_bias.items()
+                             if isinstance(sequence_bias, dict)
+                             else sequence_bias)),
+            exponential_decay_length_penalty=(
+                None if exponential_decay_length_penalty is None
+                else (int(exponential_decay_length_penalty[0]),
+                      float(exponential_decay_length_penalty[1]))),
             int8_kv_cache=int8_kv_cache, prefix_block=prefix_block,
             beam_reorder=beam_reorder)
         return _generate(

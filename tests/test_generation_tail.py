@@ -447,3 +447,84 @@ def test_top_k_clamped_to_vocab(gpt2_pair):
     out = generate(params, config, jnp.ones((1, 4), jnp.int32),
                    policy=PARITY, dc=dc, rng=jax.random.PRNGKey(0))
     assert out.shape == (1, 8)
+
+
+def test_sequence_bias_matches_hf(gpt2_pair):
+    """HF SequenceBiasLogitsProcessor: single- and multi-token sequences,
+    positive and negative biases, greedy decode equality."""
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 5, 20
+    rs = np.random.RandomState(13)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+
+    # bias a unigram up, a bigram completion down, another bigram up
+    greedy = _hf_generate(m, input_ids, max_length=max_length,
+                          do_sample=False, eos_token_id=128, pad_token_id=128)
+    t1 = int(greedy[0, n + 1])
+    t2 = int(greedy[0, n + 2])
+    bias = {(t1,): -4.0, (t1, t2): -7.5, (int(greedy[1, n]), 17): 3.0}
+
+    from transformers import GenerationConfig
+    with torch.no_grad():
+        want = m.generate(
+            torch.tensor(input_ids),
+            generation_config=GenerationConfig(
+                max_new_tokens=max_length - n, do_sample=False,
+                eos_token_id=128, pad_token_id=128,
+                sequence_bias={k: v for k, v in bias.items()})).numpy()
+
+    dc = DecodeConfig(max_length=max_length, eos_token_id=128,
+                      pad_token_id=128,
+                      sequence_bias=tuple((tuple(k), v)
+                                          for k, v in bias.items()))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
+
+
+def test_exponential_decay_length_penalty_matches_hf(gpt2_pair):
+    """HF ExponentialDecayLengthPenalty pushes EOS after the start index."""
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 24
+    rs = np.random.RandomState(17)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    eos = _probe_eos(m, input_ids, max_length)
+
+    from transformers import GenerationConfig
+    with torch.no_grad():
+        want = m.generate(
+            torch.tensor(input_ids),
+            generation_config=GenerationConfig(
+                max_new_tokens=max_length - n, do_sample=False,
+                eos_token_id=eos, pad_token_id=128,
+                exponential_decay_length_penalty=(4, 1.5))).numpy()
+
+    dc = DecodeConfig(max_length=max_length, eos_token_id=eos,
+                      pad_token_id=128,
+                      exponential_decay_length_penalty=(4, 1.5))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    L = want.shape[1]
+    np.testing.assert_array_equal(got[:, :L], want)
+    assert bool(np.all(got[:, L:] == 128) | np.all(got[:, L:] == eos)) or \
+        got.shape[1] == L
+
+
+def test_bad_words_boundary_matches_hf(gpt2_pair):
+    """A multi-token bad word whose prefix IS the whole 1-token prompt: HF
+    skips words longer than the current length, so the word CAN complete at
+    the first generated position — we must match that quirk exactly."""
+    m, params, config = gpt2_pair
+    input_ids = np.asarray([[7]], dtype=np.int64)
+    greedy = _hf_generate(m, input_ids, max_length=8, do_sample=False,
+                          eos_token_id=128, pad_token_id=128)
+    bad = [[7, int(greedy[0, 1])]]   # prompt token + first greedy token
+
+    want = _hf_generate(m, input_ids, max_length=8, do_sample=False,
+                        eos_token_id=128, pad_token_id=128,
+                        bad_words_ids=bad)
+    dc = DecodeConfig(max_length=8, eos_token_id=128, pad_token_id=128,
+                      bad_words_ids=tuple(tuple(w) for w in bad))
+    got = np.asarray(generate(params, config, jnp.asarray(input_ids),
+                              policy=PARITY, dc=dc))
+    np.testing.assert_array_equal(got[:, :want.shape[1]], want)
