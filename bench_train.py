@@ -87,6 +87,124 @@ def bench_config(name, config, *, batch, seq_len, steps=8, remat=False):
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result), flush=True)
+
+    if os.environ.get("FLAMINGO_BENCH_TRAIN_ABLATE") == "1":
+        # step-cost decomposition: vision encode / forward / backward /
+        # optimizer, each as its own fenced jitted program on device-
+        # resident inputs (pixels varied per call against transport caches)
+        import jax
+        import jax.numpy as jnp
+        from flamingo_mini_tpu.models import flamingo as F
+        from flamingo_mini_tpu.utils import params as param_utils
+        policy = trainer.policy
+
+        def loss_fn(trainable, frozen, b):
+            params = param_utils.merge_params(trainable, frozen)
+            out = F.forward(params, config, b["input_ids"], policy=policy,
+                            media_locations=b["media_locations"],
+                            attention_mask=b["attention_mask"],
+                            pixel_values=b["pixel_values"],
+                            labels=b["labels"])
+            return out.loss
+
+        @jax.jit
+        def fwd(t, f, b):
+            return loss_fn(t, f, b)
+
+        @jax.jit
+        def fwdbwd(t, f, b):
+            loss, grads = jax.value_and_grad(loss_fn)(t, f, b)
+            keep = sum(jnp.sum(g.astype(jnp.float32))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return loss + keep * jnp.float32(1e-30)   # grads stay live
+
+        @jax.jit
+        def vis(t, f, b):
+            params = param_utils.merge_params(t, f)
+            v = F.encode_resample_visuals(params, config, b["pixel_values"],
+                                          policy=policy)
+            return jnp.sum(v.astype(jnp.float32))
+
+        def timed(fn, reps=7):
+            dev = {k: policy.cast(jnp.asarray(v)) if k == "pixel_values"
+                   else jnp.asarray(v) for k, v in batch0.items()}
+            fn(trainer.trainable, trainer.frozen, dev)   # compile
+            samples = []
+            for i in range(reps):
+                dev_i = dict(dev, pixel_values=dev["pixel_values"]
+                             * (1.0 + (i + 1) * 1e-3))
+                t0 = time.perf_counter()
+                float(fn(trainer.trainable, trainer.frozen, dev_i))
+                samples.append(time.perf_counter() - t0)
+            return sorted(samples)[len(samples) // 2]
+
+        t_vis = timed(vis)
+        t_fwd = timed(fwd)
+        t_fb = timed(fwdbwd)
+        result["ablation_ms"] = {
+            "vision_encode_resample": round(t_vis * 1000, 1),
+            "forward": round(t_fwd * 1000, 1),
+            "backward": round((t_fb - t_fwd) * 1000, 1),
+            # the residual vs the per-call step is mostly NOT optimizer
+            # math: the tunnel charges ~0.15 ms per OUTPUT buffer and the
+            # step returns the whole params+opt_state pytree (measured:
+            # a trivial 256-output program costs +40 ms/call vs 1-output)
+            "residual_vs_per_call_step": round((med - t_fb) * 1000, 1),
+        }
+        print(json.dumps({"config": name,
+                          "ablation_ms": result["ablation_ms"]}), flush=True)
+
+        # sustained on-chip step: chain S optimizer steps inside ONE jitted
+        # program (two-length marginal, like bench.py's decode protocol) —
+        # this is what an attached-hardware training loop pays per step,
+        # free of the tunnel's per-call + per-output dispatch overhead
+        import optax
+        from jax import lax
+        optimizer = trainer.optimizer
+
+        @jax.jit
+        def multi(trainable, opt_state, frozen, b, S):
+            def body(i, carry):
+                t, s = carry
+                bi = dict(b)
+                bi["pixel_values"] = b["pixel_values"] * (
+                    1.0 + i.astype(jnp.float32) * 1e-3)
+                loss, grads = jax.value_and_grad(loss_fn)(t, frozen, bi)
+                updates, s = optimizer.update(grads, s, t)
+                return optax.apply_updates(t, updates), s
+
+            t, s = lax.fori_loop(0, S, body, (trainable, opt_state))
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree_util.tree_leaves(t)[:4])
+
+        dev = {k: policy.cast(jnp.asarray(v)) if k == "pixel_values"
+               else jnp.asarray(v) for k, v in batch0.items()}
+
+        def t_multi(S, reps=3):
+            S = jnp.int32(S)
+            float(multi(trainer.trainable, trainer.opt_state,
+                        trainer.frozen, dev, S))   # compile once (traced S)
+            samples = []
+            for i in range(reps):
+                dv = dict(dev, pixel_values=dev["pixel_values"]
+                          * (1.0 + (i + 1) * 1e-3))
+                t0 = time.perf_counter()
+                float(multi(trainer.trainable, trainer.opt_state,
+                            trainer.frozen, dv, S))
+                samples.append(time.perf_counter() - t0)
+            return min(samples)
+
+        S = 16
+        t_full = t_multi(S)
+        t_half = t_multi(S // 2)
+        onchip = (t_full - t_half) / (S - S // 2)
+        result["step_ms_onchip"] = round(onchip * 1000, 1)
+        result["samples_per_sec_onchip"] = round(batch / onchip, 2)
+        print(json.dumps({"config": name,
+                          "step_ms_onchip": result["step_ms_onchip"],
+                          "samples_per_sec_onchip":
+                              result["samples_per_sec_onchip"]}), flush=True)
+
     return result
 
 
