@@ -59,6 +59,8 @@ def bench_ours() -> float:
     from flamingo_mini_tpu.generation import DecodeConfig, generate
     from flamingo_mini_tpu.models import flamingo as F
     from flamingo_mini_tpu.ops.layers import FAST, FAST_PALLAS
+    from flamingo_mini_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # warm re-runs skip the ~minutes TPU compile
 
     if os.environ.get("FLAMINGO_BENCH_PALLAS") == "1":
         FAST = FAST_PALLAS  # noqa: F811 — route prefill/vision attention via Pallas

@@ -29,6 +29,8 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
                frames=1, num_beams=1, do_sample=False, top_k=0, media_count=1,
                repeats=3):
     import jax
+    from flamingo_mini_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # warm re-runs skip the ~minutes TPU compile
     import jax.numpy as jnp
     from flamingo_mini_tpu.generation import DecodeConfig
     from flamingo_mini_tpu.models import flamingo as F

@@ -29,6 +29,8 @@ RUNS = 3 if SMOKE else 7
 
 def measure(batch):
     import jax
+    from flamingo_mini_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # warm re-runs skip the ~minutes TPU compile
     import jax.numpy as jnp
     from flamingo_mini_tpu.generation import DecodeConfig, _generate_impl
     from flamingo_mini_tpu.models import flamingo as F

@@ -28,6 +28,8 @@ SMOKE = os.environ.get("FLAMINGO_BENCH_TRAIN_SMOKE") == "1"
 
 def bench_config(name, config, *, batch, seq_len, steps=8, remat=False):
     import jax
+    from flamingo_mini_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()  # warm re-runs skip the ~minutes TPU compile
     import jax.numpy as jnp
     from flamingo_mini_tpu.modeling_flamingo import FlamingoModel
     from flamingo_mini_tpu.train.trainer import FlamingoTrainer, TrainingArguments

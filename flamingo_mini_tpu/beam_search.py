@@ -218,26 +218,35 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         return state, hits
 
     def _logp(logits_2d):
-        """Per-row log-probs; beam-sampling applies the HF warper chain
-        (temperature/top-k/top-p) to each beam's logits first."""
+        """Per-row log-probs (HF _beam_search log_softmaxes first)."""
+        return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
+
+    def _warp(scores_2d):
+        """Beam-sampling warper chain, HF-merged-chain semantics
+        (transformers _beam_search with do_sample=True): the warpers run on
+        the POST-log_softmax, post-processor scores, before beam scores are
+        added, and the warped (un-renormalized) values are what accumulate
+        into the running beam scores — so beam pruning under temperature != 1
+        matches HF exactly (advisor r3: warping raw logits pre-log_softmax
+        gave the same filtered sets but divergent cumulative scores)."""
         if dc.do_sample and (dc.temperature != 1.0 or dc.top_k > 0
                              or dc.top_p < 1.0 or dc.min_p > 0.0
                              or dc.typical_p < 1.0 or dc.epsilon_cutoff > 0.0
                              or dc.eta_cutoff > 0.0):
             from .generation import apply_logit_filters
-            logits_2d = apply_logit_filters(
-                logits_2d, temperature=dc.temperature, top_k=dc.top_k,
+            scores_2d = apply_logit_filters(
+                scores_2d, temperature=dc.temperature, top_k=dc.top_k,
                 top_p=dc.top_p, min_p=dc.min_p, typical_p=dc.typical_p,
                 epsilon_cutoff=dc.epsilon_cutoff, eta_cutoff=dc.eta_cutoff)
-        return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
+        return scores_2d
 
     # ---- fill position L from the (shared) prefill logits ------------------
     from .generation import process_logits
     pb = dc.prefix_block
     seg_ends = ([M] if pb <= 0 else
                 sorted(set(list(range(L + 1 + pb, M, pb)) + [M])))
-    logp0 = process_logits(_logp(next_logits), dc, st["tokens"], st["mask"],
-                           jnp.asarray(L, jnp.int32), L)
+    logp0 = _warp(process_logits(_logp(next_logits), dc, st["tokens"],
+                                 st["mask"], jnp.asarray(L, jnp.int32), L))
     logp0 = jnp.broadcast_to(logp0[:, None, :], (b, k, vocab))
     state = (tokens, mask_buf, cache, run_scores,
              fin_seq, fin_scores, fin_flags, heur_unsat, anc)
@@ -268,10 +277,11 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
                 beam_anc=state[8] if lazy else None)
             # HF beam mode applies the processor chain to the POST-log_softmax
             # scores (generation/utils.py _beam_search), unlike greedy/sample
-            # mode where it runs on raw logits — match that exactly
+            # mode where it runs on raw logits — match that exactly; the
+            # sampling warpers follow the processors (merged HF chain)
             from .generation import process_logits
-            logp = process_logits(_logp(logits[:, -1]), dc, tokens, mask_buf,
-                                  cur, L)
+            logp = _warp(process_logits(_logp(logits[:, -1]), dc, tokens,
+                                        mask_buf, cur, L))
             state = (tokens, mask_buf, cache) + state[3:]
             state, hits = step_update(state, logp.reshape(b, k, vocab), cur,
                                       lim)

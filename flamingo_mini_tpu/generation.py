@@ -123,6 +123,14 @@ class DecodeConfig:
         if self.diversity_penalty != 0.0 and self.num_beam_groups <= 1:
             raise ValueError(
                 "diversity_penalty requires num_beam_groups > 1 (HF semantics)")
+        if self.exponential_decay_length_penalty is not None:
+            # factor <= 0 would turn the log/exp EOS boost into NaN logits
+            # instead of an error (advisor r3)
+            _start, _factor = self.exponential_decay_length_penalty
+            if not _factor > 0.0:
+                raise ValueError(
+                    "exponential_decay_length_penalty decay factor must be "
+                    f"> 0, got {_factor}")
         if self.beam_reorder not in ("gather", "lazy"):
             raise ValueError(
                 f"beam_reorder must be 'gather' or 'lazy', "

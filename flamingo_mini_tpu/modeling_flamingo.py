@@ -91,6 +91,11 @@ class FlamingoModel:
                  *, rng: Optional[jax.Array] = None, with_vision: bool = True):
         if not self.is_lm_supported(config.lm):
             raise ValueError(f"unsupported language model {config.lm!r}")
+        # full decode programs compile in minutes on TPU; persist them so a
+        # serving process only pays per program shape once per machine
+        # (utils/compile_cache; opt out with FLAMINGO_COMPILE_CACHE=off)
+        from .utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.config = config
         self.policy: Policy = policy_for(config.compute_dtype,
                                          getattr(config, "use_pallas", False))

@@ -88,7 +88,15 @@ def pad_vocab_params(params: Dict[str, Any], multiple: int) -> Dict[str, Any]:
         pad = jnp.full((rows,) + x.shape[1:], fill, x.dtype)
         return jnp.concatenate([x, pad], axis=0)
 
-    lm = dict(params.get("lm", params))
+    # Accept the full Flamingo tree (with an "lm" subtree) or a bare LM tree.
+    # A tree with no recognizable embedding key would silently serve the
+    # largest tensor unsharded — fail loudly instead (advisor r3).
+    lm = dict(params["lm"]) if "lm" in params else dict(params)
+    known = ("wte", "embed_tokens", "wte_q", "embed_tokens_q")
+    if not any(k in lm for k in known):
+        raise ValueError(
+            "pad_vocab_params: no token-embedding key found (expected one of "
+            f"{known}); pass the full Flamingo params or the LM subtree")
     for key in ("wte", "embed_tokens"):
         if key in lm:
             v = lm[key].shape[0]

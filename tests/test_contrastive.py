@@ -93,10 +93,15 @@ def test_eos_pads_tail(model):
         ids, media_locations=media, pixel_values=px, max_length=24,
         top_k=4, penalty_alpha=0.6, eos_token_id=eos, pad_token_id=99))
     row = out2[0]
+    # selection is deterministic and independent of eos_token_id until the
+    # EOS is actually emitted, so the token seen at position 8 in the probe
+    # run MUST reappear there — the pad-tail check cannot be vacuous
+    # (advisor r3: the old `if hits.size` guard let it silently skip)
     hits = np.where(row[5:] == eos)[0]
-    if hits.size:                  # after first eos: all pads
-        first = 5 + hits[0]
-        assert (row[first + 1:] == 99).all() or first == 23
+    assert hits.size > 0, "forced EOS was never generated"
+    first = 5 + hits[0]
+    assert first <= 8, (first, row)
+    assert (row[first + 1:] == 99).all(), row
 
 
 def test_validation():

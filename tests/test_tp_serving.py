@@ -21,9 +21,12 @@ from flamingo_mini_tpu.models import flamingo as F
 from flamingo_mini_tpu.ops.layers import PARITY
 
 # OPT-1.3B structure (post-norm=False, project_in/out absent, xattn_every=2)
-# at toy size; hidden/ffn divisible by the 4-way model axis, vocab 127+1=128
-# rows — NOT divisible by 4 until pad_vocab_params rounds it up.
-TINY_OPT = dict(vocab_size=127, max_position_embeddings=64, hidden_size=64,
+# at toy size; hidden/ffn divisible by the 4-way model axis, vocab 125+1=126
+# rows — 126 % 4 == 2, so pad_vocab_params MUST round it up to 128 and
+# _mask_pad_vocab must hide the two padded logit columns; every TP parity
+# test below therefore exercises the padding path (advisor r3: the previous
+# 127+1=128 was already divisible and the pad machinery was a no-op).
+TINY_OPT = dict(vocab_size=125, max_position_embeddings=64, hidden_size=64,
                 ffn_dim=128, num_hidden_layers=4, num_attention_heads=4,
                 word_embed_proj_dim=64)
 TINY_VIT = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
