@@ -94,7 +94,11 @@ def bench_ours() -> float:
                       eos_token_id=vocab + 1, pad_token_id=0,
                       int8_kv_cache=os.environ.get("FLAMINGO_BENCH_INT8_KV") == "1",
                       prefix_block=int(os.environ.get(
-                          "FLAMINGO_BENCH_PREFIX_BLOCK", "32")))
+                          "FLAMINGO_BENCH_PREFIX_BLOCK", "32")),
+                      # flat KV cache + Pallas streaming decode attention
+                      # (r4 default; FLAMINGO_BENCH_FLAT=0 for the r3 path)
+                      flat_kv_cache=os.environ.get(
+                          "FLAMINGO_BENCH_FLAT", "1") == "1")
 
     # Methodology (see BENCH.md): remote-attached devices (this sandbox's TPU
     # tunnel) ship input buffers per call and cache same-buffer repeats, so

@@ -94,6 +94,13 @@ class DecodeConfig:
     # the live cache prefix (rounded up to the block) instead of max_length.
     int8_kv_cache: bool = False
     prefix_block: int = 0
+    # Flat (b, max_len, d_model) KV cache + Pallas streaming decode attention
+    # (ops/pallas_decode.py): the head layout's 64-wide minor dim is
+    # physically ~1.6x padded in HBM and the XLA decode fusion streams it at
+    # 250-290 GB/s; the flat layout is unpadded and the Pallas kernel
+    # streams at the chip's ~700 GB/s (BENCH.md r4). Greedy/sample only —
+    # beam/contrastive decode keeps the head layout.
+    flat_kv_cache: bool = True
     # Beam-search cache reorder strategy. "gather" physically permutes the KV
     # cache by parent index every step (full-cache HBM read+write);
     # "lazy" (ancestor-indexed) leaves cache rows in place and carries a tiny
@@ -148,16 +155,17 @@ class DecodeConfig:
 
 
 def _init_lm_cache(config: FlamingoConfig, batch: int, max_len: int, dtype,
-                   int8: bool = False):
+                   int8: bool = False, flat: bool = False):
     arch = config.lm_arch
     if isinstance(arch, GPT2Arch):
-        return gpt2.init_cache(arch, batch, max_len, dtype, int8=int8)
-    return opt.init_cache(arch, batch, max_len, dtype, int8=int8)
+        return gpt2.init_cache(arch, batch, max_len, dtype, int8=int8,
+                               flat=flat)
+    return opt.init_cache(arch, batch, max_len, dtype, int8=int8, flat=flat)
 
 
 def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
              input_ids, media_locations, attention_mask, visual_features,
-             with_hidden: bool = False):
+             with_hidden: bool = False, flat: bool = False):
     """Run the prompt through the model, filling the LM cache.
 
     Returns (next_logits, lm_cache, xattn_kv, state dict of per-row values);
@@ -183,7 +191,7 @@ def _prefill(params, config: FlamingoConfig, dc: DecodeConfig, policy: Policy,
     hook = flamingo.make_layer_hook(params, config, xattn_kv, text_time, policy=policy)
 
     cache = _init_lm_cache(config, b, max_len, policy.dtype,
-                           int8=dc.int8_kv_cache)
+                           int8=dc.int8_kv_cache, flat=flat)
     # position ids from the attention mask (pads don't advance positions),
     # matching HF generate's prepare for decoder-only models
     pos = jnp.clip(jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
@@ -483,7 +491,8 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             params, config, policy.cast(pixel_values), policy=policy)
     next_logits, xattn_kv, st = _prefill(
         params, config, dc, policy, input_ids, media_locations,
-        attention_mask, visual_features)
+        attention_mask, visual_features,
+        flat=dc.flat_kv_cache and not dc.int8_kv_cache)
 
     hook_decode_time = st["media_count"]  # constant text_time for generated tokens
     decode_hook = flamingo.make_layer_hook(

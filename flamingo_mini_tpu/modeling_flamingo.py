@@ -336,6 +336,7 @@ class FlamingoModel:
         int8_kv_cache: bool = False,
         prefix_block: int = 0,
         beam_reorder: str = "lazy",
+        flat_kv_cache: bool = True,
     ) -> jnp.ndarray:
         arch = self.config.lm_arch
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
@@ -379,7 +380,7 @@ class FlamingoModel:
                 else (int(exponential_decay_length_penalty[0]),
                       float(exponential_decay_length_penalty[1]))),
             int8_kv_cache=int8_kv_cache, prefix_block=prefix_block,
-            beam_reorder=beam_reorder)
+            beam_reorder=beam_reorder, flat_kv_cache=flat_kv_cache)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy, dc=dc,

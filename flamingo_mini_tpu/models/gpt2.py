@@ -64,10 +64,25 @@ def init_gpt2(key, arch: GPT2Arch, extra_tokens: int = 1) -> Params:
 
 
 def init_cache(arch: GPT2Arch, batch: int, max_len: int, dtype,
-               int8: bool = False) -> Cache:
+               int8: bool = False, flat: bool = False) -> Cache:
     """Preallocated KV cache. ``int8=True`` stores values as int8 with
-    per-position bf16 scales — halves the decode-dominant KV HBM stream."""
+    per-position bf16 scales — halves the decode-dominant KV HBM stream.
+
+    ``flat=True`` stores K/V as ``(b, max_len, n_embd)`` — the layout the
+    QKV projection produces — instead of per-head ``(b, h, max_len, 64)``.
+    The 64-wide minor dim of the head layout is physically padded ~1.6x in
+    HBM (XLA tiles minor dims into 128-lane tiles); the flat layout's
+    1024-wide minor dim has zero padding, and decode-step attention reads
+    it with the Pallas streaming kernel (ops/pallas_decode.py) at the
+    chip's full HBM rate instead of the 250-290 GB/s the XLA decode
+    fusion reaches (BENCH.md r4). Greedy/sample decode only (beam decode
+    keeps the head layout for the ancestry-masked attention)."""
     d_head = arch.n_embd // arch.n_head
+    if flat:
+        assert not int8, "flat cache is bf16/f32-only (int8 lost on-chip; BENCH.md)"
+        fshape = (batch, max_len, arch.n_embd)
+        return [{"kf": jnp.zeros(fshape, dtype), "vf": jnp.zeros(fshape, dtype)}
+                for _ in range(arch.n_layer)]
     shape = (batch, arch.n_head, max_len, d_head)
     if int8:
         return [
@@ -106,10 +121,41 @@ def _self_attention(
     ring_axis: str = "data",
     ring_pad_mask: Optional[jnp.ndarray] = None,  # (b, n) 1=real, 0=pad
     beam_anc: Optional[jnp.ndarray] = None,  # (b, kb, max_len) ancestry table
+    npad: Optional[jnp.ndarray] = None,  # (b,) first real slot (flat decode)
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     h = layer_norm(x, bp["ln_1"], eps)
     qkv = linear(h, bp["c_attn"], policy)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    d_model = q.shape[-1]
+
+    if layer_cache is not None and "kf" in layer_cache:
+        # flat-layout cache: K/V stay (b, n, d) — the shape the projection
+        # produced — so the cache write needs no relayout and the decode
+        # read streams an unpadded buffer (see init_cache flat notes)
+        at2 = (0, cache_index, 0)
+        kf = lax.dynamic_update_slice(layer_cache["kf"], k, at2)
+        vf = lax.dynamic_update_slice(layer_cache["vf"], v, at2)
+        new_cache = {"kf": kf, "vf": vf}
+        n = q.shape[1]
+        if n == 1:
+            # decode step: Pallas streaming attention over the live prefix
+            from ..ops.pallas_decode import decode_attention
+            out2d = decode_attention(
+                q[:, 0], kf, vf, npad, cache_index,
+                n_head=n_head, scale=1.0 / ((d_model // n_head) ** 0.5),
+                kv_limit=kv_limit)
+            return linear(out2d[:, None, :], bp["c_proj"], policy), new_cache
+        # prefill (cache_index == 0): attend over the fresh prompt K/V —
+        # equivalent to masked attention over the buffer, without reading
+        # the empty tail
+        out = attend(
+            split_heads(q, n_head), split_heads(k, n_head),
+            split_heads(v, n_head),
+            scale=1.0 / ((d_model // n_head) ** 0.5),
+            mask=causal_mask, bias=pad_bias, precision=policy.precision,
+            dropout_rate=attn_pdrop, dropout_rng=dropout_rng)
+        return linear(merge_heads(out), bp["c_proj"], policy), new_cache
+
     q = split_heads(q, n_head)
     k = split_heads(k, n_head)
     v = split_heads(v, n_head)
@@ -223,7 +269,22 @@ def apply_gpt2(
         from ..ops.layers import dropout as _dropout
         x = _dropout(x, arch.embd_pdrop, jax.random.fold_in(dropout_rng, 10_000))
 
-    if cache is not None:
+    npad = None
+    flat = cache is not None and "kf" in cache[0]
+    if flat:
+        # flat-cache decode: validity is (npad <= t <= cache_index) inside
+        # the Pallas kernel — left-pad-contiguous masks only (the generate
+        # loop's invariant). Prefill (n > 1, cache_index == 0) attends over
+        # the fresh prompt K/V with an (n, n) causal mask.
+        if n == 1:
+            npad = jnp.argmax(attention_mask, axis=-1).astype(jnp.int32) \
+                if attention_mask is not None else jnp.zeros((b,), jnp.int32)
+            causal = None
+            n_kv = n
+        else:
+            n_kv = n
+            causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+    elif cache is not None:
         buf = cache[0]["k8" if "k8" in cache[0] else "k"]
         n_kv = buf.shape[2] if kv_limit is None else kv_limit
         q_pos = cache_index + jnp.arange(n, dtype=jnp.int32)           # (n,)
@@ -269,6 +330,7 @@ def apply_gpt2(
             ring_axis=ring_axis,
             ring_pad_mask=ring_pad_mask,
             beam_anc=beam_anc,
+            npad=npad,
         )
         if rng_i is not None:
             attn_out = _dropout(attn_out, arch.resid_pdrop,

@@ -64,8 +64,15 @@ def init_opt(key, arch: OPTArch, extra_tokens: int = 1) -> Params:
 
 
 def init_cache(arch: OPTArch, batch: int, max_len: int, dtype,
-               int8: bool = False) -> Cache:
+               int8: bool = False, flat: bool = False) -> Cache:
     d_head = arch.hidden_size // arch.num_attention_heads
+    if flat:
+        # flat (b, max_len, hidden) layout for the Pallas decode-attention
+        # streaming kernel — see gpt2.init_cache flat notes
+        assert not int8, "flat cache is bf16/f32-only"
+        fshape = (batch, max_len, arch.hidden_size)
+        return [{"kf": jnp.zeros(fshape, dtype), "vf": jnp.zeros(fshape, dtype)}
+                for _ in range(arch.num_hidden_layers)]
     shape = (batch, arch.num_attention_heads, max_len, d_head)
     if int8:
         return [
@@ -109,7 +116,11 @@ def apply_opt(
 ) -> Tuple[jnp.ndarray, Optional[Cache]]:
     """Returns (hidden (b, n, word_embed_proj_dim), updated cache)."""
     b, n = input_ids.shape
-    if cache is not None:
+    flat = cache is not None and "kf" in cache[0]
+    if flat:
+        n_full = cache[0]["kf"].shape[1]
+        n_kv = n  # prefill attends the fresh prompt K/V; decode is in-kernel
+    elif cache is not None:
         buf = cache[0]["k8" if "k8" in cache[0] else "k"]
         n_full = buf.shape[2]
         n_kv = n_full if kv_limit is None else kv_limit
@@ -142,16 +153,23 @@ def apply_opt(
 
     # additive causal + padding bias, HF-style
     neg = jnp.finfo(jnp.float32).min
-    if cache is not None:
-        q_pos = cache_index + jnp.arange(n, dtype=jnp.int32)
-        kv_pos = jnp.arange(n_kv, dtype=jnp.int32)
-        causal = (kv_pos[None, :] <= q_pos[:, None])[None, None]
+    npad = None
+    if flat and n == 1:
+        # flat-cache decode: validity (npad <= t <= cache_index) lives in
+        # the Pallas kernel; left-pad-contiguous masks only
+        npad = jnp.argmax(attention_mask, axis=-1).astype(jnp.int32)
+        bias = None
     else:
-        causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
-    am = attention_mask if attention_mask.shape[-1] == n_kv \
-        else attention_mask[:, :n_kv]
-    pad_ok = am[:, None, None, :].astype(bool)
-    bias = jnp.where(causal & pad_ok, 0.0, neg).astype(policy.dtype)
+        if cache is not None and not flat:
+            q_pos = cache_index + jnp.arange(n, dtype=jnp.int32)
+            kv_pos = jnp.arange(n_kv, dtype=jnp.int32)
+            causal = (kv_pos[None, :] <= q_pos[:, None])[None, None]
+        else:
+            causal = jnp.tril(jnp.ones((n, n), bool))[None, None]
+        am = attention_mask if attention_mask.shape[-1] == n_kv \
+            else attention_mask[:, :n_kv]
+        pad_ok = am[:, None, None, :].astype(bool)
+        bias = jnp.where(causal & pad_ok, 0.0, neg).astype(policy.dtype)
 
     n_head = arch.num_attention_heads
     d_head = arch.hidden_size // n_head
@@ -165,6 +183,41 @@ def apply_opt(
 
         residual = x
         h = layer_norm(x, bp["attn_ln"], eps) if arch.do_layer_norm_before else x
+        rng_i = None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
+        if flat:
+            qf = linear(h, bp["q_proj"], policy)          # (b, n, d)
+            kf = linear(h, bp["k_proj"], policy)
+            vf = linear(h, bp["v_proj"], policy)
+            at2 = (0, cache_index, 0)
+            kbuf = lax.dynamic_update_slice(cache[i]["kf"], kf, at2)
+            vbuf = lax.dynamic_update_slice(cache[i]["vf"], vf, at2)
+            layer_kv = {"kf": kbuf, "vf": vbuf}
+            if n == 1:
+                from ..ops.pallas_decode import decode_attention
+                out2d = decode_attention(qf[:, 0], kbuf, vbuf, npad,
+                                         cache_index, n_head=n_head,
+                                         scale=scale, kv_limit=kv_limit)
+                h = linear(out2d[:, None, :], bp["out_proj"], policy)
+            else:
+                out = attend(split_heads(qf, n_head), split_heads(kf, n_head),
+                             split_heads(vf, n_head), scale=scale, bias=bias,
+                             precision=policy.precision)
+                h = linear(merge_heads(out), bp["out_proj"], policy)
+            x = residual + h
+            if not arch.do_layer_norm_before:
+                x = layer_norm(x, bp["attn_ln"], eps)
+            residual = x
+            h = layer_norm(x, bp["final_ln"], eps) \
+                if arch.do_layer_norm_before else x
+            h = get_activation(arch.activation)(linear(h, bp["fc1"], policy))
+            h = linear(h, bp["fc2"], policy)
+            if rng_i is not None:
+                h = _dropout(h, arch.dropout, jax.random.fold_in(rng_i, 1))
+            x = residual + h
+            if not arch.do_layer_norm_before:
+                x = layer_norm(x, bp["final_ln"], eps)
+            new_cache.append(layer_kv)
+            continue
         q = split_heads(linear(h, bp["q_proj"], policy), n_head)
         k = split_heads(linear(h, bp["k_proj"], policy), n_head)
         v = split_heads(linear(h, bp["v_proj"], policy), n_head)
@@ -193,7 +246,6 @@ def apply_opt(
                 if kv_limit is not None:
                     k = k[:, :, :kv_limit]
                     v = v[:, :, :kv_limit]
-        rng_i = None if dropout_rng is None else jax.random.fold_in(dropout_rng, i)
         if cache is not None and beam_anc is not None:
             # ancestor-indexed beam decode (see ops/attention.attend_beam_lazy);
             # ``bias`` already combines the causal + padding masks, so the

@@ -1,0 +1,85 @@
+"""Correctness of the flat-cache Pallas decode-attention kernel.
+
+ops/pallas_decode.decode_attention vs its XLA reference, on CPU via the
+Pallas interpreter. Covers left-padding, partial caches (cur < max_len),
+kv_limit chunk coverage, non-divisible chunk boundaries, and bf16/f32.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flamingo_mini_tpu.ops.pallas_decode import (
+    decode_attention,
+    decode_attention_reference,
+)
+
+
+def _mk(b, max_len, n_head, dh, dtype, seed=0):
+    rng = np.random.RandomState(seed)
+    D = n_head * dh
+    q = jnp.asarray(rng.randn(b, D) * 0.3, dtype)
+    k = jnp.asarray(rng.randn(b, max_len, D) * 0.3, dtype)
+    v = jnp.asarray(rng.randn(b, max_len, D) * 0.3, dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("b,max_len,n_head,dh", [
+    (2, 64, 4, 16),
+    (3, 48, 2, 32),
+])
+def test_matches_reference(dtype, b, max_len, n_head, dh):
+    q, k, v = _mk(b, max_len, n_head, dh, dtype)
+    npad = jnp.asarray(np.arange(b) % 3, jnp.int32)
+    cur = jnp.int32(max_len - 5)
+    scale = 1.0 / np.sqrt(dh)
+    got = decode_attention(q, k, v, npad, cur, n_head=n_head, scale=scale,
+                           block_t=16, interpret=True)
+    want = decode_attention_reference(q, k, v, npad, cur,
+                                      n_head=n_head, scale=scale)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=tol, rtol=tol)
+
+
+def test_kv_limit_masks_tail():
+    # slots beyond cur hold garbage; kv_limit covers them but the mask wins
+    b, max_len, n_head, dh = 2, 96, 4, 16
+    q, k, v = _mk(b, max_len, n_head, dh, jnp.float32, seed=1)
+    k = k.at[:, 40:].set(1e4)   # garbage beyond cur
+    v = v.at[:, 40:].set(1e4)
+    npad = jnp.zeros((b,), jnp.int32)
+    cur = jnp.int32(39)
+    got = decode_attention(q, k, v, npad, cur, n_head=n_head, scale=0.25,
+                           kv_limit=64, block_t=32, interpret=True)
+    want = decode_attention_reference(q, k, v, npad, cur,
+                                      n_head=n_head, scale=0.25, kv_limit=40)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_nondivisible_chunks():
+    # T not a multiple of block_t: grid must still cover every valid slot
+    b, max_len, n_head, dh = 1, 80, 2, 16
+    q, k, v = _mk(b, max_len, n_head, dh, jnp.float32, seed=2)
+    npad = jnp.asarray([4], jnp.int32)
+    cur = jnp.int32(70)
+    got = decode_attention(q, k, v, npad, cur, n_head=n_head, scale=0.25,
+                           kv_limit=71, block_t=32, interpret=True)
+    want = decode_attention_reference(q, k, v, npad, cur,
+                                      n_head=n_head, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fully_masked_row_is_finite():
+    # npad > cur (row not yet live): output must be finite, not NaN
+    b, max_len, n_head, dh = 2, 32, 2, 16
+    q, k, v = _mk(b, max_len, n_head, dh, jnp.float32, seed=3)
+    npad = jnp.asarray([0, 31], jnp.int32)
+    cur = jnp.int32(8)
+    got = decode_attention(q, k, v, npad, cur, n_head=n_head, scale=0.25,
+                           block_t=16, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
