@@ -90,8 +90,8 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
     def run(d, ps, ids, media, mask, px, seed):
         px = px + seed.astype(px.dtype) * 1e-3
         impl = _beam_impl if d.num_beams > 1 else _generate_impl
-        out, _ = impl(ps, config, d, FAST, ids, media, mask, None, px,
-                      jax.random.PRNGKey(0))
+        out = impl(ps, config, d, FAST, ids, media, mask, None, px,
+                   jax.random.PRNGKey(0))[0]
         return out
 
     decode_full = jax.jit(lambda *a: run(dc_full, *a))

@@ -549,16 +549,23 @@ def beam_generate(params, config, dc, policy, input_ids, media_locations,
             raise ValueError(
                 "prefix_block segmentation is not supported with "
                 "num_beam_groups > 1")
-        fin_seq, _scores = _group_beam_impl(
+        fin_seq, scores = _group_beam_impl(
             params, config, dc, policy, input_ids, media_locations,
             attention_mask, visual_features, pixel_values)
     else:
-        fin_seq, _scores = _beam_impl(params, config, dc, policy, input_ids,
-                                      media_locations, attention_mask,
-                                      visual_features, pixel_values, rng)
+        fin_seq, scores = _beam_impl(params, config, dc, policy, input_ids,
+                                     media_locations, attention_mask,
+                                     visual_features, pixel_values, rng)
     if nrs > 1:
         b, _k, max_len = fin_seq.shape
-        return fin_seq[:, :nrs].reshape(b * nrs, max_len)
+        seqs = fin_seq[:, :nrs].reshape(b * nrs, max_len)
+        if dc.return_scores:
+            return seqs, scores[:, :nrs].reshape(b * nrs)
+        return seqs
+    if dc.return_scores:
+        # HF sequences_scores: length-penalized pool score of the returned
+        # hypothesis (BeamSearchScorer.finalize best_scores)
+        return fin_seq[:, 0], scores[:, 0]
     return fin_seq[:, 0]
 
 

@@ -101,6 +101,13 @@ class DecodeConfig:
     # streams at the chip's ~700 GB/s (BENCH.md r4). Greedy/sample only —
     # beam/contrastive decode keeps the head layout.
     flat_kv_cache: bool = True
+    # Return sequence scores alongside token ids (HF return_dict_in_generate/
+    # output_scores surface): greedy/sample accumulate the chosen token's
+    # log-prob under the post-processor (and, when sampling, post-warper)
+    # step distribution — HF compute_transition_scores(normalize_logits=True)
+    # summed over generated tokens (EOS included, post-EOS pads excluded);
+    # beam returns HF sequences_scores (length-penalized pool scores).
+    return_scores: bool = False
     # Beam-search cache reorder strategy. "gather" physically permutes the KV
     # cache by parent index every step (full-cache HBM read+write);
     # "lazy" (ancestor-indexed) leaves cache rows in place and carries a tiny
@@ -467,16 +474,25 @@ def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
 
 
 def _select_token(logits, dc: DecodeConfig, key):
-    """Greedy or top-k/top-p/temperature sampling over (b, V) logits."""
+    """Greedy or top-k/top-p/temperature sampling over (b, V) logits.
+
+    With ``dc.return_scores`` also returns the chosen token's log-prob under
+    the step distribution (post-warpers when sampling) — the per-step value
+    HF ``compute_transition_scores(normalize_logits=True)`` reports."""
     logits = logits.astype(jnp.float32)
-    if not dc.do_sample:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = apply_logit_filters(logits, temperature=dc.temperature,
-                                 top_k=dc.top_k, top_p=dc.top_p,
-                                 min_p=dc.min_p, typical_p=dc.typical_p,
-                                 epsilon_cutoff=dc.epsilon_cutoff,
-                                 eta_cutoff=dc.eta_cutoff)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    if dc.do_sample:
+        logits = apply_logit_filters(logits, temperature=dc.temperature,
+                                     top_k=dc.top_k, top_p=dc.top_p,
+                                     min_p=dc.min_p, typical_p=dc.typical_p,
+                                     epsilon_cutoff=dc.epsilon_cutoff,
+                                     eta_cutoff=dc.eta_cutoff)
+        tok = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    else:
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if not dc.return_scores:
+        return tok, None
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    return tok, jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
 
 
 @partial(jax.jit, static_argnames=("config", "dc", "policy"))
@@ -500,8 +516,10 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
 
     next_logits = process_logits(next_logits, dc, st["tokens"], st["mask"],
                                  jnp.asarray(L, jnp.int32), L)
-    first_tok = _select_token(next_logits, dc, jax.random.fold_in(rng, L))
+    first_tok, first_lp = _select_token(next_logits, dc,
+                                        jax.random.fold_in(rng, L))
     finished0 = first_tok == dc.eos_token_id
+    scores0 = first_lp if dc.return_scores else jnp.zeros((b,), jnp.float32)
 
     def write(st, tok, idx, finished):
         tokens = st["tokens"].at[:, idx].set(jnp.where(
@@ -515,7 +533,7 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
 
     def make_body(kv_limit):
         def body(carry):
-            st, cur, finished, tok, rng = carry
+            st, cur, finished, tok, rng, scores = carry
             logits, cache = flamingo.apply_lm(
                 params, config, tok[:, None], policy=policy,
                 layer_hook=decode_hook, attention_mask=st["mask"],
@@ -529,11 +547,14 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             # the prefill pick used fold_in(rng, L) and the loop enters at
             # cur == L, so fold_in(rng, cur) would reuse that key for the
             # second token
-            nxt = _select_token(step_logits, dc,
-                                jax.random.fold_in(rng, cur + 1))
+            nxt, lp = _select_token(step_logits, dc,
+                                    jax.random.fold_in(rng, cur + 1))
+            if dc.return_scores:
+                # rows already finished emit pads and stop accumulating
+                scores = scores + jnp.where(finished, 0.0, lp)
             new_finished = finished | (nxt == dc.eos_token_id)
             st = write(st, nxt, cur + 1, finished)
-            return st, cur + 1, new_finished, nxt, rng
+            return st, cur + 1, new_finished, nxt, rng, scores
         return body
 
     # effective stop position: HF max_new_tokens bounds the generated count
@@ -548,7 +569,8 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     # dummy keeps the carry alias-friendly. (Measured: decode floor drops
     # ~2.4 ms/step -> ~0; see BENCH.md ablation notes.)
     carry_rng = rng if dc.do_sample else jax.random.PRNGKey(0)
-    carry = (st, jnp.asarray(L, jnp.int32), finished0, first_tok, carry_rng)
+    carry = (st, jnp.asarray(L, jnp.int32), finished0, first_tok, carry_rng,
+             scores0)
     if dc.prefix_block > 0:
         # Live-prefix segmented decode: steps with cur < seg_end only need
         # cache slots [0, seg_end), so each segment's attention statically
@@ -560,17 +582,17 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             + [M - 1]))
         for seg_end in seg_ends:
             def cond_seg(carry, _end=seg_end):
-                _st, cur, finished, _tok, _rng = carry
+                _st, cur, finished, _tok, _rng, _sc = carry
                 return (cur < _end) & ~jnp.all(finished)
             carry = lax.while_loop(
                 cond_seg, make_body(min(seg_end, dc.max_length)), carry)
     else:
         def cond(carry):
-            _st, cur, finished, _tok, _rng = carry
+            _st, cur, finished, _tok, _rng, _sc = carry
             return (cur < M - 1) & ~jnp.all(finished)
         carry = lax.while_loop(cond, make_body(None), carry)
-    st, cur, finished, _, _ = carry
-    return st["tokens"], cur + 1
+    st, cur, finished, _, _, scores = carry
+    return st["tokens"], cur + 1, scores
 
 
 def generate(
@@ -669,13 +691,20 @@ def generate(
                              pixel_values=pixel_values, rng=rng)
 
     if dc.penalty_alpha > 0.0:
+        if dc.return_scores:
+            raise ValueError(
+                "return_scores is not supported with contrastive search "
+                "(its degeneration-penalized scores are not sequence "
+                "log-probs; HF also reports raw processed logits there)")
         from .contrastive import contrastive_generate
         return contrastive_generate(params, config, dc, policy, input_ids,
                                     media_locations, attention_mask,
                                     visual_features,
                                     pixel_values=pixel_values)
 
-    tokens, _n = _generate_impl(params, config, dc, policy, input_ids,
-                                media_locations, attention_mask,
-                                visual_features, pixel_values, rng)
+    tokens, _n, scores = _generate_impl(params, config, dc, policy, input_ids,
+                                        media_locations, attention_mask,
+                                        visual_features, pixel_values, rng)
+    if dc.return_scores:
+        return tokens, scores
     return tokens

@@ -337,7 +337,15 @@ class FlamingoModel:
         prefix_block: int = 0,
         beam_reorder: str = "lazy",
         flat_kv_cache: bool = True,
+        return_scores: bool = False,
     ) -> jnp.ndarray:
+        """Generate token ids (b, max_length). With ``return_scores=True``
+        returns ``(sequences, sequences_scores)``: beam search yields HF's
+        length-penalized ``sequences_scores``; greedy/sample yield the sum of
+        chosen-token log-probs under the per-step processed (and, when
+        sampling, warped) distribution — HF
+        ``compute_transition_scores(normalize_logits=True)`` summed over
+        generated tokens (EOS included, post-EOS pads excluded)."""
         arch = self.config.lm_arch
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
         pad = eos if pad_token_id is None else pad_token_id
@@ -380,7 +388,8 @@ class FlamingoModel:
                 else (int(exponential_decay_length_penalty[0]),
                       float(exponential_decay_length_penalty[1]))),
             int8_kv_cache=int8_kv_cache, prefix_block=prefix_block,
-            beam_reorder=beam_reorder, flat_kv_cache=flat_kv_cache)
+            beam_reorder=beam_reorder, flat_kv_cache=flat_kv_cache,
+            return_scores=return_scores)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy, dc=dc,

@@ -80,7 +80,10 @@ def init_cache(arch: GPT2Arch, batch: int, max_len: int, dtype,
     d_head = arch.n_embd // arch.n_head
     if flat:
         assert not int8, "flat cache is bf16/f32-only (int8 lost on-chip; BENCH.md)"
-        fshape = (batch, max_len, arch.n_embd)
+        # rounded to a 64-multiple: the Pallas kernel's chunks then never
+        # read past the array, and the zeroed tail makes a V mask
+        # unnecessary (ops/pallas_decode.py contract)
+        fshape = (batch, -(-max_len // 64) * 64, arch.n_embd)
         return [{"kf": jnp.zeros(fshape, dtype), "vf": jnp.zeros(fshape, dtype)}
                 for _ in range(arch.n_layer)]
     shape = (batch, arch.n_head, max_len, d_head)

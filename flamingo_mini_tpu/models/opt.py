@@ -67,10 +67,10 @@ def init_cache(arch: OPTArch, batch: int, max_len: int, dtype,
                int8: bool = False, flat: bool = False) -> Cache:
     d_head = arch.hidden_size // arch.num_attention_heads
     if flat:
-        # flat (b, max_len, hidden) layout for the Pallas decode-attention
+        # flat (b, 64-multiple, hidden) layout for the Pallas decode-attention
         # streaming kernel — see gpt2.init_cache flat notes
         assert not int8, "flat cache is bf16/f32-only"
-        fshape = (batch, max_len, arch.hidden_size)
+        fshape = (batch, -(-max_len // 64) * 64, arch.hidden_size)
         return [{"kf": jnp.zeros(fshape, dtype), "vf": jnp.zeros(fshape, dtype)}
                 for _ in range(arch.num_hidden_layers)]
     shape = (batch, arch.num_attention_heads, max_len, d_head)

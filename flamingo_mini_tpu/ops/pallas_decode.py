@@ -14,18 +14,24 @@ while_loop) on two measured grounds (tools/probe_stream.py, BENCH.md r4):
    bandwidth-bound — so the stream rate is the whole game.
 
 Per-head scores from the flat layout WITHOUT relayout, via a block-diagonal
-selector on the MXU: with E[d, j] = (d // dh == j),
+selector on the MXU: with selT[h, d] = (d // dh == h),
 
-    Qmat = E * q^T                  (D, H)  — q's values routed per head
-    scores = K @ Qmat               (T, D) x (D, H) -> (T, H)
-    alphas = softmax_T(scores)      (masked: npad <= t <= cur)
-    alE    = alphas @ E^T           (T, H) x (H, D) -> (T, D)
-    out    = sum_T(alE * V)         (1, D)
+    qr     = selT * q[:, None, :]        (B, H, D) — q's values routed per head
+    scores = K x qr  ("btd,bhd->bth")    batched MXU, contract D
+    alphas = softmax_T(scores)           (masked: npad <= t <= cur)
+    bhd    = alphas^T x V ("bth,btd->bhd")
+    out    = sum_h bhd * selT            ("bhd,hd->bd")
 
-Both cache streams (K, V) flow through MXU/VPU at full 128-lane utilization.
-The T axis is chunked into grid steps with online softmax (flash-style
-running max/sum), so VMEM holds only (block_t, D) tiles and any max_length
-fits; Pallas double-buffers the chunk DMA across grid steps.
+Both cache streams (K, V) flow through the MXU at full 128-lane utilization;
+nothing is ever transposed or re-laid-out. The grid is
+(b-blocks, T-chunks) with the T axis innermost (sequential): online softmax
+(flash-style running max/sum) carries (B_blk, H) statistics and a
+(B_blk, D) output accumulator in VMEM scratch, so any max_length fits and
+Pallas double-buffers the next chunk's DMA behind the current compute. The
+whole batch rides in ONE grid row by default — the v1 per-row grid paid a
+~1.75 us/step grid overhead x 32 rows x 24 layers ~= 1.3 ms/step; batching
+rows cuts the grid to ~ceil(T/block_t) steps per layer (measured ladder in
+BENCH.md r4).
 
 Semantics match gpt2/opt decode attention exactly: scores scaled by
 ``scale`` post-matmul, masked with f32 min where invalid, softmax in f32,
@@ -49,21 +55,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = float(jnp.finfo(jnp.float32).min)
 
 
-def _decode_kernel(scal_ref, q_ref, k_ref, v_ref, o_ref,
+def _decode_kernel(cur_ref, npad_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *,
-                   n_head: int, scale: float, block_t: int):
-    """Grid (b, n_chunks); chunk axis innermost (sequential, online softmax).
-
-    scal_ref (SMEM, int32, (b + 1,)): per-row first-valid slot ``npad``
-    followed by the scalar ``cur`` (last valid slot).
-    """
-    bi = pl.program_id(0)
+                   n_head: int, scale: float):
+    """Grid (b-blocks, T-chunks); chunk axis innermost (sequential, online
+    softmax). cur_ref (SMEM, (1,)): last valid slot. npad_ref (VMEM,
+    (B_blk, 128) int32, lane-broadcast): per-row first real slot."""
     tj = pl.program_id(1)
-    b = q_ref.shape[0]
-    T_blk, D = k_ref.shape[1], k_ref.shape[2]
+    B, T_blk, D = k_ref.shape
     dh = D // n_head
-    npad = scal_ref[bi]
-    cur = scal_ref[pl.num_programs(0)]
+    cur = cur_ref[0]
 
     @pl.when(tj == 0)
     def _init():
@@ -71,61 +72,58 @@ def _decode_kernel(scal_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # row bi of the resident (b, D) query block, via an iota-mask reduce
-    # (TPU block shapes must tile (8, 128) or equal the array; a (1, D)
-    # sliced block would violate that for small b)
-    q_rows = lax.broadcasted_iota(jnp.int32, (b, 1), 0) == bi
-    q = jnp.sum(jnp.where(q_rows, q_ref[...].astype(jnp.float32), 0.0),
-                axis=0, keepdims=True)                      # (1, D)
-    # block-diagonal head selector E (D, H) routes q's values per head:
-    # qm = E * q^T via (H, D)-side ops only (no lane->sublane transpose)
+    # block-diagonal head selector (H, D) and the per-row routed query
     selT = jnp.where((lax.broadcasted_iota(jnp.int32, (n_head, D), 1) // dh)
                      == lax.broadcasted_iota(jnp.int32, (n_head, D), 0),
                      1.0, 0.0)                              # (H, D) f32
-    qmT = selT * q                                          # (H, D) routed q
+    q = q_ref[...].astype(jnp.float32)                      # (B, D)
+    qr = selT[None] * q[:, None, :]                         # (B, H, D)
 
-    k = k_ref[0]                                            # (T_blk, D)
-    s = lax.dot_general(k, qmT.astype(k.dtype), (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (T_blk, H)
+    k = k_ref[...]                                          # (B, T_blk, D)
+    s = lax.dot_general(k, qr.astype(k.dtype),
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)  # (B, T_blk, H)
     s = s * scale
 
-    t_pos = tj * T_blk + lax.broadcasted_iota(jnp.int32, (T_blk, n_head), 0)
-    valid = (t_pos >= npad) & (t_pos <= cur)
+    # validity mask built directly in 3D — Mosaic rejects minor-dim inserts
+    # on sub-32-bit (bool) values, so the comparisons run on 3D int32 iotas
+    t_pos = tj * T_blk + lax.broadcasted_iota(jnp.int32, (B, T_blk, n_head), 1)
+    npad3 = jnp.broadcast_to(npad_ref[:, :1][:, :, None],
+                             (B, T_blk, n_head))
+    valid = (t_pos >= npad3) & (t_pos <= cur)               # (B, T_blk, H)
     s = jnp.where(valid, s, NEG)
 
-    m_prev = m_ref[...]                                     # (1, H)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)                         # (1, H)
-    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)           # (T_blk, H)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    m_prev = m_ref[...]                                     # (B, H)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    alpha = jnp.exp(m_prev - m_new)                         # (B, H)
+    p = jnp.where(valid, jnp.exp(s - m_new[:, None, :]), 0.0)
+    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1)
     m_ref[...] = m_new
 
-    # expand per-head weights to the flat D axis (MXU routing, no relayout);
-    # cast to the compute dtype first — matches the XLA path's
-    # alphas.astype(dtype) before the V matmul (ops/attention.attend)
-    pE = lax.dot_general(p.astype(k.dtype), selT.astype(k.dtype),
-                         (((1,), (0,)), ((), ())),
-                         preferred_element_type=jnp.float32)  # (T_blk, D)
+    # V needs no mask: the caller guarantees blocks never read past the
+    # cache array (cache length is a block multiple) and unwritten cache
+    # slots are REAL zeros, so invalid rows enter the dot with p == 0
+    # against finite values
+    vv = v_ref[...].astype(jnp.float32)
+    # alphas cast to the compute dtype before weighting V — matches the XLA
+    # path's alphas.astype(dtype) (ops/attention.attend)
+    bhd = lax.dot_general(p.astype(k.dtype).astype(jnp.float32), vv,
+                          (((1,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)  # (B, H, D)
+    contrib = jnp.sum(bhd * selT[None], axis=1)             # (B, D)
     alphaE = lax.dot_general(alpha, selT, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (1, D)
-    # mask V rows too: OOB pad lanes of a partial boundary block are
-    # unspecified (NaN in interpret mode) and 0 * NaN = NaN
-    v_valid = valid[:, :1]                                   # (T_blk, 1)
-    vv = jnp.where(v_valid, v_ref[0].astype(jnp.float32), 0.0)
-    contrib = jnp.sum(pE * vv, axis=0, keepdims=True)
+                             preferred_element_type=jnp.float32)  # (B, D)
     acc_ref[...] = acc_ref[...] * alphaE + contrib
 
     @pl.when(tj == pl.num_programs(1) - 1)
     def _finish():
         lE = lax.dot_general(l_ref[...], selT, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-        row = (acc_ref[...] / jnp.maximum(lE, 1e-30)).astype(o_ref.dtype)
-        # scatter row bi into the resident (b, D) output block
-        o_ref[...] = jnp.where(q_rows, row, o_ref[...])
+        o_ref[...] = (acc_ref[...] / jnp.maximum(lE, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_head", "scale", "kv_limit", "block_t", "interpret"))
+    "n_head", "scale", "kv_limit", "block_t", "block_b", "interpret"))
 def decode_attention(
     q: jnp.ndarray,        # (b, D) current token's query (unscaled)
     k_cache: jnp.ndarray,  # (b, max_len, D) flat K cache
@@ -136,7 +134,8 @@ def decode_attention(
     n_head: int,
     scale: float,
     kv_limit: Optional[int] = None,   # static live-prefix bound (<= max_len)
-    block_t: int = 128,
+    block_t: Optional[int] = None,
+    block_b: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Single-token decode attention over the flat cache. Returns (b, D).
@@ -145,43 +144,57 @@ def decode_attention(
     materialize a copy of the live cache every step); the grid only COVERS
     ceil(kv_limit / block_t) chunks, so per-step HBM traffic is the live
     prefix rounded up to ``block_t``. Slots beyond ``cur`` (zeros, or stale
-    beam rows) are masked in-kernel.
+    beam rows) and partial-boundary-block padding are masked in-kernel.
     """
     b, max_len, D = k_cache.shape
     assert D % n_head == 0
+    # the no-V-mask contract: chunks must never read past the cache array
+    # (n_chunks * blk <= max_len needs blk | max_len), and the unwritten tail
+    # must be zeros (init_cache flat allocates zeroed 64-multiples)
+    assert max_len % 16 == 0, \
+        f"flat cache length must be a multiple of 16, got {max_len}"
     T = max_len if kv_limit is None else min(kv_limit, max_len)
-    # keep the chunk a sublane multiple (bf16 tiles are (16, 128)); a partial
-    # final chunk never hurts — boundary blocks are padded + masked
-    blk = min(block_t, -(-max(T, 16) // 16) * 16)
+    if block_b is None:
+        block_b = b if b <= 64 else 32
+    bb = min(block_b, b)
+    while b % bb:
+        bb -= 1
+    if block_t is None:
+        # ~2 MB bf16 K-blocks: bb * blk * D * 2 bytes
+        block_t = max(16, (2 * 1024 * 1024) // (bb * D * 2) // 16 * 16)
+    # largest sublane-multiple chunk <= block_t that divides the cache length
+    blk = 16
+    for cand in (256, 128, 64, 32, 16):
+        if cand <= max(block_t, 16) and max_len % cand == 0:
+            blk = cand
+            break
     n_chunks = pl.cdiv(T, blk)
-    # A partial final chunk may read past T (or even max_len): Pallas pads
-    # boundary blocks, the lanes are unspecified, and the t<=cur validity
-    # mask (cur < max_len always) zeroes them — the standard flash pattern.
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
-    scal = jnp.concatenate([npad.astype(jnp.int32),
-                            jnp.reshape(cur, (1,)).astype(jnp.int32)])
-    grid = (b, n_chunks)
+    # npad lane-broadcast to a (b, 128) int32 VMEM operand (a (b,) or (b, 1)
+    # block would violate the (8, 128) minor-tile constraint)
+    npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (b, 128))
+    grid = (b // bb, n_chunks)
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, n_head=n_head, scale=float(scale),
-                          block_t=blk),
+        functools.partial(_decode_kernel, n_head=n_head, scale=float(scale)),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, D), lambda i, j: (0, 0)),   # resident q block
-            pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, blk, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((bb, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((bb, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((bb, blk, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((bb, blk, D), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((b, D), lambda i, j: (0, 0)),
+        out_specs=pl.BlockSpec((bb, D), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((1, n_head), jnp.float32),   # running max
-            pltpu.VMEM((1, n_head), jnp.float32),   # running sum
-            pltpu.VMEM((1, D), jnp.float32),        # output accumulator
+            pltpu.VMEM((bb, n_head), jnp.float32),   # running max
+            pltpu.VMEM((bb, n_head), jnp.float32),   # running sum
+            pltpu.VMEM((bb, D), jnp.float32),        # output accumulator
         ],
         interpret=interpret,
-    )(scal, q, k_cache, v_cache)
+    )(jnp.reshape(cur, (1,)).astype(jnp.int32), npad_v, q, k_cache, v_cache)
     return out
 
 

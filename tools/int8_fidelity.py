@@ -103,7 +103,7 @@ def main():
         # ARGUMENT); wrapping it in another jit here would capture the
         # ~700 MB param pytree as closure constants and stall compilation.
         def run(ps, ids, media, mask, px):
-            out, _ = _generate_impl(ps, config, dc, FAST, ids, media,
+            out, _, _ = _generate_impl(ps, config, dc, FAST, ids, media,
                                     mask, None, px, jax.random.PRNGKey(0))
             return out
 
