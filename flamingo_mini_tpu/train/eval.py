@@ -160,11 +160,14 @@ def evaluate_image_captioning(
         return _pycoco_metrics(candidates, references)
     except ImportError:
         logger.info("pycocoevalcap unavailable; using built-in "
-                    "BLEU/ROUGE-L/CIDEr-D (METEOR and SPICE need "
-                    "pycocoevalcap+Java and have no pure-python fallback)")
+                    "BLEU/ROUGE-L/CIDEr-D and an exact+stem METEOR "
+                    "approximation (train/meteor.py; SPICE needs "
+                    "pycocoevalcap+Java and has no pure-python fallback)")
+        from .meteor import corpus_meteor
         metrics = corpus_bleu(candidates, references)
         metrics["ROUGE_L"] = rouge_l(candidates, references)
         metrics["CIDEr"] = cider_d(candidates, references)
+        metrics["METEOR"] = corpus_meteor(candidates, references)
         return metrics
 
 
