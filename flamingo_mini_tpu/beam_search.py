@@ -386,8 +386,10 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
                    (b, 1, max_len))
     own_row = jnp.arange(k, dtype=jnp.int32)[None, :]
 
-    def step(state, logp_bkV, cur):
-        """Fill position ``cur`` from (b, k, V) log-probs, group by group."""
+    def step(state, logp_bkV, cur, lim=None):
+        """Fill position ``cur`` from (b, k, V) log-probs, group by group.
+        ``lim`` (static): live-prefix bound — the non-lazy cache gather only
+        permutes slots [0, lim) (see _beam_impl.step_update)."""
         (tokens, mask_buf, cache, run_scores,
          fin_seq, fin_scores, fin_flags, done, anc) = state
         rows4 = tokens.reshape(b, G, kg, max_len)
@@ -471,8 +473,12 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
             anc = jnp.take_along_axis(anc, parent_global[:, :, None], axis=1)
             anc = anc.at[:, :, cur].set(own_row)
         else:
-            cache = jax.tree_util.tree_map(
-                lambda x: _gather_beams(x, parent_global, b, k), cache)
+            def gather_cache_leaf(x):
+                if lim is None or lim >= x.shape[2]:
+                    return _gather_beams(x, parent_global, b, k)
+                head = _gather_beams(x[:, :, :lim], parent_global, b, k)
+                return lax.dynamic_update_slice(x, head, (0, 0, 0, 0))
+            cache = jax.tree_util.tree_map(gather_cache_leaf, cache)
         return (tokens, mask_buf, cache, jnp.stack(new_rs_g, axis=1),
                 jnp.stack(new_fseq_g, axis=1), jnp.stack(new_fsc_g, axis=1),
                 jnp.stack(new_ffl_g, axis=1), jnp.stack(new_done_g, axis=1),
@@ -482,33 +488,50 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         return jax.nn.log_softmax(logits_2d.astype(jnp.float32), axis=-1)
 
     # ---- position L from the shared prefill logits -----------------------
+    pb = dc.prefix_block
+    seg_ends = ([M] if pb <= 0 else
+                sorted(set(list(range(L + 1 + pb, M, pb)) + [M])))
     logp0 = jnp.broadcast_to(_logp_rows(next_logits)[:, None, :],
                              (b, k, vocab))
     state = (tokens, mask_buf, cache, run_scores,
              fin_seq, fin_scores, fin_flags, done, anc)
-    state = step(state, logp0, jnp.asarray(L, jnp.int32))
+    state = step(state, logp0, jnp.asarray(L, jnp.int32),
+                 None if pb <= 0 else seg_ends[0])
 
-    def cond(carry):
-        state, cur = carry
-        return (cur < M) & ~jnp.all(state[7])
+    def make_cond(seg_end):
+        def cond(carry):
+            state, cur = carry
+            alive = (cur < M) & ~jnp.all(state[7])
+            return alive if seg_end is None else alive & (cur < seg_end)
+        return cond
 
-    def body(carry):
-        state, cur = carry
-        tokens, mask_buf, cache = state[0], state[1], state[2]
-        prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
-        logits, cache = flamingo.apply_lm(
-            params, config, prev_tok, policy=policy,
-            layer_hook=decode_hook, attention_mask=mask_buf,
-            position_ids=pos_next + (cur - 1 - L),
-            cache=cache, cache_index=cur - 1,
-            beam_anc=state[8] if lazy else None)
-        state = (tokens, mask_buf, cache) + state[3:]
-        logp = _logp_rows(logits[:, -1]).reshape(b, k, vocab)
-        state = step(state, logp, cur)
-        return state, cur + 1
+    def make_body(lim):
+        def body(carry):
+            state, cur = carry
+            tokens, mask_buf, cache = state[0], state[1], state[2]
+            prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
+            logits, cache = flamingo.apply_lm(
+                params, config, prev_tok, policy=policy,
+                layer_hook=decode_hook, attention_mask=mask_buf,
+                position_ids=pos_next + (cur - 1 - L),
+                cache=cache, cache_index=cur - 1, kv_limit=lim,
+                beam_anc=state[8] if lazy else None)
+            state = (tokens, mask_buf, cache) + state[3:]
+            logp = _logp_rows(logits[:, -1]).reshape(b, k, vocab)
+            state = step(state, logp, cur, lim)
+            return state, cur + 1
+        return body
 
-    state, cur = lax.while_loop(cond, body, (state, jnp.asarray(L + 1,
-                                                                jnp.int32)))
+    carry = (state, jnp.asarray(L + 1, jnp.int32))
+    if pb <= 0:
+        carry = lax.while_loop(make_cond(None), make_body(None), carry)
+    else:
+        # live-prefix segmented decode (mirrors _beam_impl): static segment
+        # bounds; all-groups-done exits every remaining segment immediately
+        for seg_end in seg_ends:
+            carry = lax.while_loop(make_cond(seg_end),
+                                   make_body(min(seg_end, max_len)), carry)
+    state, cur = carry
     (tokens, _mask, _cache, run_scores,
      fin_seq, fin_scores, fin_flags, done, _anc) = state
 
@@ -545,10 +568,6 @@ def beam_generate(params, config, dc, policy, input_ids, media_locations,
             f"num_return_sequences ({nrs}) must be <= num_beams "
             f"({dc.num_beams}) for beam search (HF semantics)")
     if dc.num_beam_groups > 1:
-        if dc.prefix_block > 0:
-            raise ValueError(
-                "prefix_block segmentation is not supported with "
-                "num_beam_groups > 1")
         fin_seq, scores = _group_beam_impl(
             params, config, dc, policy, input_ids, media_locations,
             attention_mask, visual_features, pixel_values)

@@ -80,10 +80,13 @@ def init_cache(arch: GPT2Arch, batch: int, max_len: int, dtype,
     d_head = arch.n_embd // arch.n_head
     if flat:
         assert not int8, "flat cache is bf16/f32-only (int8 lost on-chip; BENCH.md)"
-        # rounded to a 64-multiple: the Pallas kernel's chunks then never
-        # read past the array, and the zeroed tail makes a V mask
-        # unnecessary (ops/pallas_decode.py contract)
-        fshape = (batch, -(-max_len // 64) * 64, arch.n_embd)
+        # T-MAJOR (T, b, d), T rounded to a 64-multiple: every decode-step
+        # attention chunk and every cache write is one contiguous stream
+        # (b-major chunks are b strided 64 KB runs — 300 vs 400-470 GB/s,
+        # tools/probe_decode_kernel.py), chunks never read past the array,
+        # and the zeroed tail makes a V mask unnecessary
+        # (ops/pallas_decode.py contract)
+        fshape = (-(-max_len // 64) * 64, batch, arch.n_embd)
         return [{"kf": jnp.zeros(fshape, dtype), "vf": jnp.zeros(fshape, dtype)}
                 for _ in range(arch.n_layer)]
     shape = (batch, arch.n_head, max_len, d_head)
@@ -132,14 +135,17 @@ def _self_attention(
     d_model = q.shape[-1]
 
     if layer_cache is not None and "kf" in layer_cache:
-        # flat-layout cache: K/V stay (b, n, d) — the shape the projection
-        # produced — so the cache write needs no relayout and the decode
-        # read streams an unpadded buffer (see init_cache flat notes)
-        at2 = (0, cache_index, 0)
-        kf = lax.dynamic_update_slice(layer_cache["kf"], k, at2)
-        vf = lax.dynamic_update_slice(layer_cache["vf"], v, at2)
-        new_cache = {"kf": kf, "vf": vf}
+        # T-major flat cache (see init_cache flat notes). The decode-step
+        # write is a free reshape ((b, 1, d) -> (1, b, d), the 1-dim moves
+        # without data movement); the prefill write transposes the prompt
+        # K/V once (tiny, one-time)
         n = q.shape[1]
+        at2 = (cache_index, 0, 0)
+        kT = k.reshape(1, -1, d_model) if n == 1 else k.swapaxes(0, 1)
+        vT = v.reshape(1, -1, d_model) if n == 1 else v.swapaxes(0, 1)
+        kf = lax.dynamic_update_slice(layer_cache["kf"], kT, at2)
+        vf = lax.dynamic_update_slice(layer_cache["vf"], vT, at2)
+        new_cache = {"kf": kf, "vf": vf}
         if n == 1:
             # decode step: Pallas streaming attention over the live prefix
             from ..ops.pallas_decode import decode_attention

@@ -67,10 +67,10 @@ def init_cache(arch: OPTArch, batch: int, max_len: int, dtype,
                int8: bool = False, flat: bool = False) -> Cache:
     d_head = arch.hidden_size // arch.num_attention_heads
     if flat:
-        # flat (b, 64-multiple, hidden) layout for the Pallas decode-attention
-        # streaming kernel — see gpt2.init_cache flat notes
+        # T-major (64-multiple, b, hidden) layout for the Pallas
+        # decode-attention streaming kernel — see gpt2.init_cache flat notes
         assert not int8, "flat cache is bf16/f32-only"
-        fshape = (batch, -(-max_len // 64) * 64, arch.hidden_size)
+        fshape = (-(-max_len // 64) * 64, batch, arch.hidden_size)
         return [{"kf": jnp.zeros(fshape, dtype), "vf": jnp.zeros(fshape, dtype)}
                 for _ in range(arch.num_hidden_layers)]
     shape = (batch, arch.num_attention_heads, max_len, d_head)
@@ -118,7 +118,7 @@ def apply_opt(
     b, n = input_ids.shape
     flat = cache is not None and "kf" in cache[0]
     if flat:
-        n_full = cache[0]["kf"].shape[1]
+        n_full = cache[0]["kf"].shape[0]
         n_kv = n  # prefill attends the fresh prompt K/V; decode is in-kernel
     elif cache is not None:
         buf = cache[0]["k8" if "k8" in cache[0] else "k"]
@@ -188,9 +188,14 @@ def apply_opt(
             qf = linear(h, bp["q_proj"], policy)          # (b, n, d)
             kf = linear(h, bp["k_proj"], policy)
             vf = linear(h, bp["v_proj"], policy)
-            at2 = (0, cache_index, 0)
-            kbuf = lax.dynamic_update_slice(cache[i]["kf"], kf, at2)
-            vbuf = lax.dynamic_update_slice(cache[i]["vf"], vf, at2)
+            # T-major write: free reshape at decode, one-time transpose at
+            # prefill (see gpt2._self_attention flat notes)
+            dm = qf.shape[-1]
+            at2 = (cache_index, 0, 0)
+            kT = kf.reshape(1, -1, dm) if n == 1 else kf.swapaxes(0, 1)
+            vT = vf.reshape(1, -1, dm) if n == 1 else vf.swapaxes(0, 1)
+            kbuf = lax.dynamic_update_slice(cache[i]["kf"], kT, at2)
+            vbuf = lax.dynamic_update_slice(cache[i]["vf"], vT, at2)
             layer_kv = {"kf": kbuf, "vf": vbuf}
             if n == 1:
                 from ..ops.pallas_decode import decode_attention

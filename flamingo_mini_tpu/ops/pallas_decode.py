@@ -1,37 +1,33 @@
-"""Pallas TPU decode-step attention over a FLAT (b, T, h*dh) KV cache.
+"""Pallas TPU decode-step attention over a T-MAJOR flat (T, b, h*dh) KV cache.
 
 Replaces the XLA decode attention (ops/attention.attend inside the generate
-while_loop) on two measured grounds (tools/probe_stream.py, BENCH.md r4):
+while_loop) on measured grounds (tools/probe_decode_kernel.py, BENCH.md r4):
 
-1. **Layout**: the (b, h, T, dh=64) cache layout is physically padded 1.6x in
-   HBM (XLA tiles the 64-wide minor dim into 128-lane tiles), so every decode
-   step streams 1.6x the logical KV bytes. The flat (b, T, h*dh) layout has a
-   1024-wide minor dim — zero padding — and is what the QKV projection
-   produces anyway (no per-step split_heads relayout).
-2. **Bandwidth**: a Pallas kernel streams HBM at ~700 GB/s on this chip where
-   the XLA decode-attention fusion reaches ~195-290 GB/s (the r2/r3
-   decomposition's ceiling). Attention at decode is a batched matvec —
-   bandwidth-bound — so the stream rate is the whole game.
+1. **Layout**: the (b, h, T, dh=64) head-layout cache is physically padded
+   ~1.6x in HBM (XLA tiles the 64-wide minor dim into 128 lanes) and the XLA
+   decode fusion streams it at ~250 GB/s. A flat b-major (b, T, D) cache
+   fixes the padding but its T-chunks are b strided 64 KB runs — measured
+   ~300 GB/s. The T-MAJOR (T, b, D) layout makes every chunk ONE contiguous
+   (blk*b*D*2)-byte stream — measured 400-470 GB/s in situ — and the decode
+   write (1, b, D at position cur) is a single contiguous slab (the b-major
+   write was b strided rows).
+2. **Launch floor**: per-launch DMA ramp is ~12 us; at 24 layers/step that
+   floor is architectural for per-layer kernels (the megakernel work attacks
+   it); within one launch this kernel is bandwidth-bound, math-free
+   (stream-only ablation equals the full kernel).
 
 Per-head scores from the flat layout WITHOUT relayout, via a block-diagonal
 selector on the MXU: with selT[h, d] = (d // dh == h),
 
-    qr     = selT * q[:, None, :]        (B, H, D) — q's values routed per head
-    scores = K x qr  ("btd,bhd->bth")    batched MXU, contract D
-    alphas = softmax_T(scores)           (masked: npad <= t <= cur)
-    bhd    = alphas^T x V ("bth,btd->bhd")
-    out    = sum_h bhd * selT            ("bhd,hd->bd")
+    qr     = selT * q[:, None, :]          (b, H, D) — q routed per head
+    scores = qr x K  ("bhd,tbd->bht")      batched MXU, contract D
+    alphas = softmax_T(scores)             (masked: npad <= t <= cur)
+    bhd    = alphas x V ("bht,tbd->bhd")
+    out    = sum_h bhd * selT              ("bhd,hd->bd")
 
-Both cache streams (K, V) flow through the MXU at full 128-lane utilization;
-nothing is ever transposed or re-laid-out. The grid is
-(b-blocks, T-chunks) with the T axis innermost (sequential): online softmax
-(flash-style running max/sum) carries (B_blk, H) statistics and a
-(B_blk, D) output accumulator in VMEM scratch, so any max_length fits and
-Pallas double-buffers the next chunk's DMA behind the current compute. The
-whole batch rides in ONE grid row by default — the v1 per-row grid paid a
-~1.75 us/step grid overhead x 32 rows x 24 layers ~= 1.3 ms/step; batching
-rows cuts the grid to ~ceil(T/block_t) steps per layer (measured ladder in
-BENCH.md r4).
+The grid is (T-chunks,) — sequential, so online softmax (flash-style running
+max/sum) carries (b, H) statistics and a (b, D) accumulator in VMEM scratch
+while Pallas double-buffers the next chunk's DMA behind the current compute.
 
 Semantics match gpt2/opt decode attention exactly: scores scaled by
 ``scale`` post-matmul, masked with f32 min where invalid, softmax in f32,
@@ -57,13 +53,34 @@ NEG = float(jnp.finfo(jnp.float32).min)
 
 def _decode_kernel(cur_ref, npad_ref, q_ref, k_ref, v_ref, o_ref,
                    m_ref, l_ref, acc_ref, *,
-                   n_head: int, scale: float):
-    """Grid (b-blocks, T-chunks); chunk axis innermost (sequential, online
-    softmax). cur_ref (SMEM, (1,)): last valid slot. npad_ref (VMEM,
-    (B_blk, 128) int32, lane-broadcast): per-row first real slot."""
-    tj = pl.program_id(1)
-    B, T_blk, D = k_ref.shape
+                   n_head: int, scale: float, group: int):
+    """Grid (T-chunks,), sequential (online softmax). cur_ref (SMEM, (1,)):
+    last valid slot. npad_ref (VMEM, (b, 128) int32, lane-broadcast):
+    per-row first real slot.
+
+    GROUPED CROSS-BATCH form: batch rows are processed in groups of
+    ``group`` (chosen so group * n_head ~= 128). For each group the kernel
+    computes the FULL cross-product score matrix, queries on sublanes:
+
+        s[(b, h), (t, b')] = qr[(b, h), :] . K[(t, b'), :]
+
+    with ONE plain 2D MXU dot — no VMEM transposes, no batched dot_general
+    (Mosaic lowers those to per-batch tiny matmuls; an explicit chunk
+    transpose measured +20 us/layer), and no sublane<->lane relayouts:
+    the online-softmax stats reduce over LANES into natural (GH, 1)
+    column vectors. Cross-batch entries (b != b') are masked invalid
+    alongside npad/cur, so they softmax to exact 0 and the V-weighting
+    dot — also one plain 2D op — picks up nothing from foreign rows. The
+    extra FLOPs (group x) are free: decode attention is bandwidth-bound
+    by ~10x. Per-(b, h) output rows accumulate in a (B*H, D) scratch and
+    collapse to (B, D) via the head selector once, at the last chunk.
+    """
+    tj = pl.program_id(0)
+    T_blk, B, D = k_ref.shape
     dh = D // n_head
+    G = group
+    GH = G * n_head
+    TG = T_blk * G
     cur = cur_ref[0]
 
     @pl.when(tj == 0)
@@ -72,62 +89,71 @@ def _decode_kernel(cur_ref, npad_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # block-diagonal head selector (H, D) and the per-row routed query
+    kv_dtype = k_ref.dtype
+    # block-diagonal head selector (H, D): routes q per head / collapses
+    # per-head outputs back to the flat D axis (0/1 — exact in any dtype)
     selT = jnp.where((lax.broadcasted_iota(jnp.int32, (n_head, D), 1) // dh)
                      == lax.broadcasted_iota(jnp.int32, (n_head, D), 0),
-                     1.0, 0.0)                              # (H, D) f32
-    q = q_ref[...].astype(jnp.float32)                      # (B, D)
-    qr = selT[None] * q[:, None, :]                         # (B, H, D)
+                     1.0, 0.0).astype(kv_dtype)             # (H, D)
 
-    k = k_ref[...]                                          # (B, T_blk, D)
-    s = lax.dot_general(k, qr.astype(k.dtype),
-                        (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)  # (B, T_blk, H)
-    s = s * scale
+    # mask pieces for the (GH, TG) score matrix, hoisted out of the group
+    # loop: row = b_local * H + h, col = t_local * G + b_local'
+    rows_i = lax.broadcasted_iota(jnp.int32, (GH, TG), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (GH, TG), 1)
+    t_pos = tj * T_blk + cols_i // G                        # (GH, TG)
+    base_valid = ((rows_i // n_head) == (cols_i % G)) & (t_pos <= cur)
 
-    # validity mask built directly in 3D — Mosaic rejects minor-dim inserts
-    # on sub-32-bit (bool) values, so the comparisons run on 3D int32 iotas
-    t_pos = tj * T_blk + lax.broadcasted_iota(jnp.int32, (B, T_blk, n_head), 1)
-    npad3 = jnp.broadcast_to(npad_ref[:, :1][:, :, None],
-                             (B, T_blk, n_head))
-    valid = (t_pos >= npad3) & (t_pos <= cur)               # (B, T_blk, H)
-    s = jnp.where(valid, s, NEG)
+    for g in range(B // G):
+        sl = slice(g * G, (g + 1) * G)
+        slh = slice(g * GH, (g + 1) * GH)
+        # qr: (G, H, D) routed queries -> (GH, D); kg/vg: merged (TG, D)
+        qr = (selT[None] * q_ref[sl][:, None, :]).reshape(GH, D)
+        kg = k_ref[:, sl, :].reshape(TG, D)
+        vg = v_ref[:, sl, :].reshape(TG, D)
 
-    m_prev = m_ref[...]                                     # (B, H)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-    alpha = jnp.exp(m_prev - m_new)                         # (B, H)
-    p = jnp.where(valid, jnp.exp(s - m_new[:, None, :]), 0.0)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1)
-    m_ref[...] = m_new
+        s = lax.dot_general(qr, kg, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (GH, TG)
+        s = s * scale
+        # npad per query row (b, h): (G, 1) -> (G, H, 1) -> (GH, 1)
+        npad_r = jnp.broadcast_to(npad_ref[sl, :1][:, None, :],
+                                  (G, n_head, 1)).reshape(GH, 1)
+        valid = base_valid & (t_pos >= npad_r)
+        s = jnp.where(valid, s, NEG)
 
-    # V needs no mask: the caller guarantees blocks never read past the
-    # cache array (cache length is a block multiple) and unwritten cache
-    # slots are REAL zeros, so invalid rows enter the dot with p == 0
-    # against finite values
-    vv = v_ref[...].astype(jnp.float32)
-    # alphas cast to the compute dtype before weighting V — matches the XLA
-    # path's alphas.astype(dtype) (ops/attention.attend)
-    bhd = lax.dot_general(p.astype(k.dtype).astype(jnp.float32), vv,
-                          (((1,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32)  # (B, H, D)
-    contrib = jnp.sum(bhd * selT[None], axis=1)             # (B, D)
-    alphaE = lax.dot_general(alpha, selT, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (B, D)
-    acc_ref[...] = acc_ref[...] * alphaE + contrib
+        m_prev = m_ref[slh, :1]                             # (GH, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)                     # (GH, 1)
+        # invalid entries hold NEG; exp(NEG - m_new) underflows to exact 0,
+        # so no second mask pass is needed
+        p = jnp.exp(s - m_new)
+        l_ref[slh, :1] = l_ref[slh, :1] * alpha \
+            + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[slh, :1] = m_new
 
-    @pl.when(tj == pl.num_programs(1) - 1)
+        # V-weighting: one 2D dot; cross-batch columns carry p == 0. Alphas
+        # cast to the compute dtype first, f32 accumulation — exactly the
+        # XLA path (ops/attention.attend: alphas.astype(dtype) @ v)
+        bhd = lax.dot_general(p.astype(kv_dtype), vg,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (GH, D)
+        acc_ref[slh, :] = acc_ref[slh, :] * alpha + bhd
+
+    @pl.when(tj == pl.num_programs(0) - 1)
     def _finish():
-        lE = lax.dot_general(l_ref[...], selT, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        o_ref[...] = (acc_ref[...] / jnp.maximum(lE, 1e-30)).astype(o_ref.dtype)
+        # collapse per-(b, h) rows to (B, D): out[b, d] =
+        # acc[(b, d//dh), d] / l[(b, d//dh)] via the selector, once
+        selTf = selT.astype(jnp.float32)[None]              # (1, H, D)
+        acc = acc_ref[...].reshape(B, n_head, D)
+        l = jnp.maximum(l_ref[:, :1], 1e-30).reshape(B, n_head, 1)
+        o_ref[...] = jnp.sum(acc / l * selTf, axis=1).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_head", "scale", "kv_limit", "block_t", "block_b", "interpret"))
+    "n_head", "scale", "kv_limit", "block_t", "interpret"))
 def decode_attention(
     q: jnp.ndarray,        # (b, D) current token's query (unscaled)
-    k_cache: jnp.ndarray,  # (b, max_len, D) flat K cache
-    v_cache: jnp.ndarray,  # (b, max_len, D) flat V cache
+    k_cache: jnp.ndarray,  # (max_len, b, D) T-major flat K cache
+    v_cache: jnp.ndarray,  # (max_len, b, D) T-major flat V cache
     npad: jnp.ndarray,     # (b,) int32 first real (non-pad) slot per row
     cur: jnp.ndarray,      # () int32 last valid slot (== current write pos)
     *,
@@ -135,63 +161,66 @@ def decode_attention(
     scale: float,
     kv_limit: Optional[int] = None,   # static live-prefix bound (<= max_len)
     block_t: Optional[int] = None,
-    block_b: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Single-token decode attention over the flat cache. Returns (b, D).
+    """Single-token decode attention over the T-major flat cache -> (b, D).
 
     The full cache buffers are passed (never sliced — a slice would
     materialize a copy of the live cache every step); the grid only COVERS
     ceil(kv_limit / block_t) chunks, so per-step HBM traffic is the live
-    prefix rounded up to ``block_t``. Slots beyond ``cur`` (zeros, or stale
-    beam rows) and partial-boundary-block padding are masked in-kernel.
+    prefix rounded up to ``block_t``. Slots beyond ``cur`` are masked
+    in-kernel (and are zero by the cache contract).
     """
-    b, max_len, D = k_cache.shape
+    max_len, b, D = k_cache.shape
     assert D % n_head == 0
-    # the no-V-mask contract: chunks must never read past the cache array
-    # (n_chunks * blk <= max_len needs blk | max_len), and the unwritten tail
-    # must be zeros (init_cache flat allocates zeroed 64-multiples)
     assert max_len % 16 == 0, \
         f"flat cache length must be a multiple of 16, got {max_len}"
     T = max_len if kv_limit is None else min(kv_limit, max_len)
-    if block_b is None:
-        block_b = b if b <= 64 else 32
-    bb = min(block_b, b)
-    while b % bb:
-        bb -= 1
     if block_t is None:
-        # ~2 MB bf16 K-blocks: bb * blk * D * 2 bytes
-        block_t = max(16, (2 * 1024 * 1024) // (bb * D * 2) // 16 * 16)
-    # largest sublane-multiple chunk <= block_t that divides the cache length
-    blk = 16
-    for cand in (256, 128, 64, 32, 16):
-        if cand <= max(block_t, 16) and max_len % cand == 0:
+        # largest chunk whose double-buffered K+V blocks fit Mosaic's 16 MB
+        # scoped VMEM next to the scratch + score intermediates (measured
+        # fastest at 2 MB blocks for the flamingo-mini shape: 55 us/layer
+        # at kv=128 vs 60 at 1 MB, tools/probe_decode_kernel.py)
+        scratch_bytes = b * n_head * (D + 256) * 4
+        budget = 14 * 1024 * 1024 - scratch_bytes - 2 * 1024 * 1024
+        block_t = max(8, budget // (4 * b * D * 2) // 16 * 16)
+    # largest chunk <= block_t that divides the cache length, so chunks
+    # never read past the array (the no-V-mask contract)
+    blk = 8
+    for cand in (256, 128, 64, 32, 16, 8):
+        if cand <= max(block_t, 8) and max_len % cand == 0:
             blk = cand
             break
     n_chunks = pl.cdiv(T, blk)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
+    # group size: group * n_head ~= 128 (one full lane tile of score
+    # columns per cross-batch dot), and group | b
+    group = min(b, max(1, 128 // n_head))
+    while b % group:
+        group -= 1
+
     # npad lane-broadcast to a (b, 128) int32 VMEM operand (a (b,) or (b, 1)
     # block would violate the (8, 128) minor-tile constraint)
     npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (b, 128))
-    grid = (b // bb, n_chunks)
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, n_head=n_head, scale=float(scale)),
-        grid=grid,
+        functools.partial(_decode_kernel, n_head=n_head, scale=float(scale),
+                          group=group),
+        grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bb, 128), lambda i, j: (i, 0)),
-            pl.BlockSpec((bb, D), lambda i, j: (i, 0)),
-            pl.BlockSpec((bb, blk, D), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((bb, blk, D), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((b, 128), lambda j: (0, 0)),
+            pl.BlockSpec((b, D), lambda j: (0, 0)),      # resident q
+            pl.BlockSpec((blk, b, D), lambda j: (j, 0, 0)),
+            pl.BlockSpec((blk, b, D), lambda j: (j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((bb, D), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((b, D), lambda j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bb, n_head), jnp.float32),   # running max
-            pltpu.VMEM((bb, n_head), jnp.float32),   # running sum
-            pltpu.VMEM((bb, D), jnp.float32),        # output accumulator
+            pltpu.VMEM((b * n_head, 128), jnp.float32),  # running max (lane 0)
+            pltpu.VMEM((b * n_head, 128), jnp.float32),  # running sum (lane 0)
+            pltpu.VMEM((b * n_head, D), jnp.float32),    # per-(b, h) output acc
         ],
         interpret=interpret,
     )(jnp.reshape(cur, (1,)).astype(jnp.int32), npad_v, q, k_cache, v_cache)
@@ -201,12 +230,12 @@ def decode_attention(
 def decode_attention_reference(q, k_cache, v_cache, npad, cur, *,
                                n_head: int, scale: float,
                                kv_limit: Optional[int] = None):
-    """XLA reference with identical semantics (tests; shapes as above)."""
-    b, max_len, D = k_cache.shape
+    """XLA reference with identical semantics (tests; T-major shapes)."""
+    max_len, b, D = k_cache.shape
     dh = D // n_head
     T = max_len if kv_limit is None else min(kv_limit, max_len)
-    k = k_cache[:, :T].reshape(b, T, n_head, dh).transpose(0, 2, 1, 3)
-    v = v_cache[:, :T].reshape(b, T, n_head, dh).transpose(0, 2, 1, 3)
+    k = k_cache[:T].reshape(T, b, n_head, dh).transpose(1, 2, 0, 3)
+    v = v_cache[:T].reshape(T, b, n_head, dh).transpose(1, 2, 0, 3)
     qh = q.reshape(b, 1, n_head, dh).transpose(0, 2, 1, 3)   # (b, h, 1, dh)
     s = jnp.einsum("bhqd,bhtd->bhqt", qh.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale

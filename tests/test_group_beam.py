@@ -233,3 +233,19 @@ def test_group_beam_lazy_equals_gather(gpt2_pair):  # noqa: F811
     got_gather = _jax_group_beam(params, config, input_ids,
                                  beam_reorder="gather", **kw)
     np.testing.assert_array_equal(got_lazy, got_gather)
+
+
+def test_group_beam_prefix_block_is_exact(gpt2_pair):  # noqa: F811
+    """Live-prefix segmented decode (prefix_block) is a bitwise-exact layout
+    change for group beam too — both reorder modes (VERDICT r3 #9)."""
+    _, params, config = gpt2_pair
+    b, n, max_length = 2, 5, 18
+    rs = np.random.RandomState(78)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    for reorder in ("lazy", "gather"):
+        kw = dict(max_length=max_length, eos_token_id=128, pad_token_id=128,
+                  num_beams=4, num_beam_groups=2, diversity_penalty=0.7,
+                  num_return_sequences=4, beam_reorder=reorder)
+        base = _jax_group_beam(params, config, input_ids, **kw)
+        seg = _jax_group_beam(params, config, input_ids, prefix_block=4, **kw)
+        np.testing.assert_array_equal(base, seg)

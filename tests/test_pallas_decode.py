@@ -1,8 +1,11 @@
-"""Correctness of the flat-cache Pallas decode-attention kernel.
+"""Correctness of the T-major flat-cache Pallas decode-attention kernel.
 
 ops/pallas_decode.decode_attention vs its XLA reference, on CPU via the
 Pallas interpreter. Covers left-padding, partial caches (cur < max_len),
 kv_limit chunk coverage, non-divisible chunk boundaries, and bf16/f32.
+Caches are (T, b, D) T-major; garbage beyond ``cur`` must stay masked
+(the zero-tail contract only matters for array-overrun, which the chunk
+divisibility rule prevents).
 """
 import jax
 import jax.numpy as jnp
@@ -19,8 +22,8 @@ def _mk(b, max_len, n_head, dh, dtype, seed=0):
     rng = np.random.RandomState(seed)
     D = n_head * dh
     q = jnp.asarray(rng.randn(b, D) * 0.3, dtype)
-    k = jnp.asarray(rng.randn(b, max_len, D) * 0.3, dtype)
-    v = jnp.asarray(rng.randn(b, max_len, D) * 0.3, dtype)
+    k = jnp.asarray(rng.randn(max_len, b, D) * 0.3, dtype)
+    v = jnp.asarray(rng.randn(max_len, b, D) * 0.3, dtype)
     return q, k, v
 
 
@@ -47,8 +50,8 @@ def test_kv_limit_masks_tail():
     # slots beyond cur hold garbage; kv_limit covers them but the mask wins
     b, max_len, n_head, dh = 2, 96, 4, 16
     q, k, v = _mk(b, max_len, n_head, dh, jnp.float32, seed=1)
-    k = k.at[:, 40:].set(1e4)   # garbage beyond cur
-    v = v.at[:, 40:].set(1e4)
+    k = k.at[40:].set(1e4)   # garbage beyond cur
+    v = v.at[40:].set(1e4)
     npad = jnp.zeros((b,), jnp.int32)
     cur = jnp.int32(39)
     got = decode_attention(q, k, v, npad, cur, n_head=n_head, scale=0.25,
@@ -60,14 +63,14 @@ def test_kv_limit_masks_tail():
     assert np.isfinite(np.asarray(got)).all()
 
 
-def test_nondivisible_chunks():
-    # T not a multiple of block_t: grid must still cover every valid slot
+def test_nondivisible_kv_limit():
+    # kv_limit not a multiple of block_t: coverage rounds up inside the array
     b, max_len, n_head, dh = 1, 80, 2, 16
     q, k, v = _mk(b, max_len, n_head, dh, jnp.float32, seed=2)
     npad = jnp.asarray([4], jnp.int32)
     cur = jnp.int32(70)
     got = decode_attention(q, k, v, npad, cur, n_head=n_head, scale=0.25,
-                           kv_limit=71, block_t=32, interpret=True)
+                           kv_limit=71, block_t=16, interpret=True)
     want = decode_attention_reference(q, k, v, npad, cur,
                                       n_head=n_head, scale=0.25)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
