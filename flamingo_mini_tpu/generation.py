@@ -76,6 +76,11 @@ class DecodeConfig:
     # config stays a valid jit static arg); lists are normalized by
     # FlamingoModel.generate
     bad_words_ids: Optional[tuple] = None
+    # HF constrained beam search (generate(force_words_ids=...)): tuple of
+    # constraints, each a tuple of alternative phrases (tuples of ids) —
+    # phrasal = one alternative, disjunctive = several; normalized from HF's
+    # nested lists by FlamingoModel.generate. See constrained_beam.py.
+    force_words_ids: Optional[tuple] = None
     num_return_sequences: int = 1     # HF: expand batch (sample) / top-n (beam)
     # HF diverse/group beam search (HammingDiversityLogitsProcessor +
     # BeamSearchScorer(num_beam_groups)): beams split into groups decoded
@@ -149,6 +154,21 @@ class DecodeConfig:
             raise ValueError(
                 f"beam_reorder must be 'gather' or 'lazy', "
                 f"got {self.beam_reorder!r}")
+        if self.force_words_ids is not None:
+            # HF semantics: constrained decoding is a beam-only, sampling-
+            # free, group-free generation mode
+            if self.num_beams <= 1:
+                raise ValueError(
+                    "force_words_ids (constrained beam search) requires "
+                    "num_beams > 1 (HF semantics)")
+            if self.do_sample:
+                raise ValueError(
+                    "force_words_ids is incompatible with do_sample=True "
+                    "(HF semantics)")
+            if self.num_beam_groups > 1:
+                raise ValueError(
+                    "force_words_ids is incompatible with "
+                    "num_beam_groups > 1 (HF semantics)")
         if self.penalty_alpha > 0.0:
             if self.top_k <= 1:
                 raise ValueError(
@@ -683,6 +703,13 @@ def generate(
         else:
             params = jax.device_put(params, NamedSharding(mesh, P()))
         rng = jax.device_put(rng, NamedSharding(mesh, P()))
+
+    if dc.force_words_ids is not None:
+        from .constrained_beam import constrained_beam_generate
+        return constrained_beam_generate(params, config, dc, policy,
+                                         input_ids, media_locations,
+                                         attention_mask, visual_features,
+                                         pixel_values=pixel_values)
 
     if dc.num_beams > 1:
         from .beam_search import beam_generate

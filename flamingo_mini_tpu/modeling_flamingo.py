@@ -319,6 +319,7 @@ class FlamingoModel:
         min_new_tokens: int = 0,
         no_repeat_ngram_size: int = 0,
         bad_words_ids=None,
+        force_words_ids=None,
         num_return_sequences: int = 1,
         num_beam_groups: int = 1,
         diversity_penalty: float = 0.0,
@@ -368,6 +369,13 @@ class FlamingoModel:
             no_repeat_ngram_size=no_repeat_ngram_size,
             bad_words_ids=None if bad_words_ids is None else tuple(
                 tuple(int(t) for t in w) for w in bad_words_ids),
+            # HF nested-list formats -> hashable constraint spec (phrasal =
+            # List[int], disjunctive = List[List[int]])
+            force_words_ids=None if force_words_ids is None else tuple(
+                tuple(tuple(int(t) for t in alt) for alt in w)
+                if w and isinstance(w[0], (list, tuple))
+                else (tuple(int(t) for t in w),)
+                for w in force_words_ids),
             num_return_sequences=num_return_sequences,
             num_beam_groups=num_beam_groups,
             diversity_penalty=diversity_penalty,
