@@ -34,7 +34,9 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
     import jax.numpy as jnp
     from flamingo_mini_tpu.generation import DecodeConfig
     from flamingo_mini_tpu.models import flamingo as F
-    from flamingo_mini_tpu.ops.layers import FAST
+    from flamingo_mini_tpu.ops.layers import FAST, FAST_PALLAS
+    if os.environ.get("FLAMINGO_BENCH_PALLAS") == "1":
+        FAST = FAST_PALLAS  # noqa: F811 — Pallas prefill/vision attention
 
     params = F.init_flamingo(jax.random.PRNGKey(0), config)
     # deployment defaults match bench.py: int8 weight-only + live-prefix

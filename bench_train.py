@@ -27,6 +27,11 @@ SMOKE = os.environ.get("FLAMINGO_BENCH_TRAIN_SMOKE") == "1"
 
 
 def bench_config(name, config, *, batch, seq_len, steps=8, remat=False):
+    if os.environ.get("FLAMINGO_BENCH_PALLAS") == "1":
+        # route full-sequence attention through the fused Pallas kernels
+        # (ops/pallas_attn.py) for the on/off table (BENCH.md r4)
+        import dataclasses
+        config = dataclasses.replace(config, use_pallas=True)
     import jax
     from flamingo_mini_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()  # warm re-runs skip the ~minutes TPU compile

@@ -677,6 +677,14 @@ def generate(
         pixel_values, visual_features = rep(pixel_values), rep(visual_features)
 
     if mesh is not None and len(mesh.devices.flat) > 1:
+        if dc.flat_kv_cache:
+            # the Pallas decode kernel is not yet shard_map-wrapped: under
+            # GSPMD a pallas_call forces replication of its operands (an
+            # all-gather of the sharded cache per step). Multi-device
+            # serving keeps the head-layout XLA attention until the kernel
+            # grows a shard_map path.
+            from dataclasses import replace as _dc_replace
+            dc = _dc_replace(dc, flat_kv_cache=False)
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_data = mesh.devices.shape[0]
         if input_ids.shape[0] % n_data != 0:
