@@ -98,7 +98,10 @@ def bench_ours() -> float:
                       # flat KV cache + Pallas streaming decode attention
                       # (r4 default; FLAMINGO_BENCH_FLAT=0 for the r3 path)
                       flat_kv_cache=os.environ.get(
-                          "FLAMINGO_BENCH_FLAT", "1") == "1")
+                          "FLAMINGO_BENCH_FLAT", "1") == "1",
+                      # whole-step megakernel (ops/pallas_megadecode.py)
+                      megakernel=os.environ.get(
+                          "FLAMINGO_BENCH_MEGA") == "1")
 
     # Methodology (see BENCH.md): remote-attached devices (this sandbox's TPU
     # tunnel) ship input buffers per call and cache same-buffer repeats, so

@@ -183,8 +183,11 @@ def main():
             results.append({"config": name, "error": f"{type(e).__name__}: {e}"})
             print(json.dumps(results[-1]), flush=True)
 
-    with open(os.path.join(REPO, "BENCH_EXTENDED.json"), "w") as f:
+    out_path = os.environ.get("FLAMINGO_BENCH_OUT",
+                              os.path.join(REPO, "BENCH_EXTENDED.json"))
+    with open(out_path, "w") as f:
         json.dump({"results": results,
+                   "pallas": os.environ.get("FLAMINGO_BENCH_PALLAS") == "1",
                    "int8": os.environ.get("FLAMINGO_BENCH_INT8", "1") == "1",
                    "prefix_block": int(os.environ.get(
                        "FLAMINGO_BENCH_PREFIX_BLOCK", "32")),

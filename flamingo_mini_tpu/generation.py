@@ -106,6 +106,12 @@ class DecodeConfig:
     # streams at the chip's ~700 GB/s (BENCH.md r4). Greedy/sample only —
     # beam/contrastive decode keeps the head layout.
     flat_kv_cache: bool = True
+    # Whole-decode-step Pallas megakernel (ops/pallas_megadecode.py): all
+    # gated-xattn + GPT-2 layers in ONE launch per token, weights + KV
+    # streamed back-to-back. Greedy/sample fast path; requires the flat
+    # cache, int8 LM+xattn weights, GPT-2 trunk with n_embd=1024, bf16
+    # xattn K/V, single device. Falls back (ValueError) otherwise.
+    megakernel: bool = False
     # Return sequence scores alongside token ids (HF return_dict_in_generate/
     # output_scores surface): greedy/sample accumulate the chosen token's
     # log-prob under the post-processor (and, when sampling, post-warper)
@@ -528,11 +534,25 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     next_logits, xattn_kv, st = _prefill(
         params, config, dc, policy, input_ids, media_locations,
         attention_mask, visual_features,
-        flat=dc.flat_kv_cache and not dc.int8_kv_cache)
+        flat=(dc.flat_kv_cache or dc.megakernel) and not dc.int8_kv_cache)
 
     hook_decode_time = st["media_count"]  # constant text_time for generated tokens
     decode_hook = flamingo.make_layer_hook(
         params, config, xattn_kv, hook_decode_time, policy=policy)
+
+    if dc.megakernel:
+        from .models import gpt2 as _gpt2
+        from .ops import pallas_megadecode as mega
+        if not isinstance(config.lm_arch, GPT2Arch):
+            raise ValueError("megakernel supports the GPT-2 trunk only")
+        if dc.int8_kv_cache:
+            raise ValueError("megakernel needs bf16 KV (int8_kv_cache off)")
+        packed = mega.pack_decode_weights(params, config)
+        xkf, xvf = mega.pack_xattn_kv_flat(xattn_kv, config.lm_arch.n_layer)
+        st["kc"] = jnp.stack([c["kf"] for c in st["cache"]])
+        st["vc"] = jnp.stack([c["vf"] for c in st["cache"]])
+        st = {k: v for k, v in st.items() if k != "cache"}
+        npad0 = jnp.argmax(st["mask"], axis=-1).astype(jnp.int32)
 
     next_logits = process_logits(next_logits, dc, st["tokens"], st["mask"],
                                  jnp.asarray(L, jnp.int32), L)
@@ -554,12 +574,31 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     def make_body(kv_limit):
         def body(carry):
             st, cur, finished, tok, rng, scores = carry
-            logits, cache = flamingo.apply_lm(
-                params, config, tok[:, None], policy=policy,
-                layer_hook=decode_hook, attention_mask=st["mask"],
-                position_ids=st["pos_next"],
-                cache=st["cache"], cache_index=cur, kv_limit=kv_limit)
-            st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
+            if dc.megakernel:
+                lm = params["lm"]
+                arch = config.lm_arch
+                if "wte_q" in lm:
+                    from .ops.quant import embed_lookup
+                    emb = embed_lookup(lm["wte_q"], tok[:, None], policy.dtype)
+                else:
+                    emb = lm["wte"].astype(policy.dtype)[tok[:, None]]
+                x = (emb + lm["wpe"].astype(policy.dtype)[st["pos_next"]])[:, 0]
+                hidden, kc, vc = mega.decode_step_megakernel(
+                    packed, xkf, xvf, st["kc"], st["vc"], x, npad0,
+                    st["media_count"], cur, config=config, kv_limit=kv_limit)
+                from .ops.layers import layer_norm as _ln
+                h = _ln(hidden[:, None, :], lm["ln_f"],
+                        arch.layer_norm_epsilon)
+                logits = _gpt2.lm_head(lm, h, policy)
+                st = {**st, "kc": kc, "vc": vc,
+                      "pos_next": st["pos_next"] + 1}
+            else:
+                logits, cache = flamingo.apply_lm(
+                    params, config, tok[:, None], policy=policy,
+                    layer_hook=decode_hook, attention_mask=st["mask"],
+                    position_ids=st["pos_next"],
+                    cache=st["cache"], cache_index=cur, kv_limit=kv_limit)
+                st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
             # this step fills position cur+1; sequence-so-far length == cur+1
             step_logits = process_logits(logits[:, -1], dc, st["tokens"],
                                          st["mask"], cur + 1, L)

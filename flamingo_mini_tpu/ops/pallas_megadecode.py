@@ -1,0 +1,575 @@
+"""Whole-decode-step Pallas megakernel: every gated-xattn + GPT-2 layer in
+ONE launch (VERDICT r3 #1 — "fewer/larger kernels IS an implementational
+lever").
+
+Why: after the r4 flat-cache rework the decode step still pays ~12 us of
+per-launch DMA ramp x ~48 launches plus XLA op boundaries (BENCH.md r4
+ladder). The only way to stream weights + KV back-to-back at the chip's
+full HBM rate is a single kernel whose DMA queue never drains: this kernel
+executes the ENTIRE per-token trunk — for every layer the gated
+cross-attention block (masked xattn + tanh gates + gated FFW) followed by
+the GPT-2 block (LN -> QKV -> cache write -> causal attention over the
+live prefix -> proj -> MLP) — with all weights streamed through a
+double-buffered VMEM ping-pong and the KV caches read/written by manual
+async DMA at dynamic positions. Embedding lookup and the lm_head/argmax
+stay in XLA (two ops, already at roofline).
+
+Restrictions (the greedy fast path; generation.py falls back otherwise):
+int8 weights (ops/quant layout), n_embd == 1024, bf16 compute, single
+device, xattn K/V in bf16, n_media * n_visual latents fitting one VMEM
+block.
+
+Layout contracts (pack_decode_weights / pack_xattn_kv_flat):
+* weights: ONE (n_layer, N_CHUNKS, 1024, 1024) int8 array; every matrix is
+  padded into 1024 x 1024 chunks (zero row-padding contracts against
+  zero-padded activation columns — exact; zero col-padding produces
+  outputs that are either sliced away or multiplied by zero downstream).
+  Layers without a gated-xattn block carry zero xattn chunks AND zero
+  tanh-gates, so the unconditionally-executed xattn phases are an exact
+  no-op there (no divergent chunk schedule).
+* per-layer smalls (LN params, biases, per-chunk quant scales, gates):
+  one (n_layer, SMALL) f32 array, ONE DMA per layer, static offsets.
+* caches: stacked T-major (n_layer, T, b, D) bf16, aliased in/out; the
+  step's K/V row is DMA-written at ``cur`` before the chunked attention
+  read streams [0, kv_limit).
+* xattn K/V: flat T-major (n_layer, NMNV, b, XI) bf16.
+
+Numerics mirror the XLA decode path op-for-op (linear: int8 -> bf16 cast,
+bf16 matmul, f32 accumulate, f32 per-channel scale, +bias in bf16, cast
+bf16; LN stats in f32; residual adds in bf16; attention exactly as
+ops/pallas_decode's grouped cross-batch form) so greedy tokens match the
+non-mega engine.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = float(jnp.finfo(jnp.float32).min)
+CW = 1024          # chunk width: one 1024x1024 int8 (1 MB) MXU-ready tile
+KV_BLK = 16        # cache-read chunk rows
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+def _sched(D: int, Dff: int):
+    sched = [("xq", 1), ("xo", 1), ("xf1", Dff // CW), ("xf2", Dff // CW),
+             ("qkv", 3 * D // CW), ("o", 1), ("fc", Dff // CW),
+             ("pr", Dff // CW)]
+    offs, o = {}, 0
+    for name, n in sched:
+        offs[name] = o
+        o += n
+    return offs, o
+
+
+def _small_layout(D: int, Dff: int, n_chunks: int):
+    fields = [("ln1_s", D), ("ln1_b", D), ("ln2_s", D), ("ln2_b", D),
+              ("xn_s", D), ("xn_b", D), ("xfn_s", D), ("xfn_b", D),
+              ("b_qkv", 3 * D), ("b_o", D), ("b_fc", Dff), ("b_pr", D),
+              ("gates", 128), ("wscale", n_chunks * CW)]
+    soffs, so = {}, 0
+    for name, n in fields:
+        soffs[name] = so
+        so += n
+    return soffs, ((so + 127) // 128) * 128
+
+
+def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
+    """Stack quantized LM + xattn weights into the megakernel layout.
+
+    Pure functional jnp ops (pad/stack/concat), so it traces inside the
+    jitted generate program: the packing runs once per CALL on device
+    (~ms for 0.5 GB of copies), not per decode step.
+    """
+    lm = params["lm"]
+    arch = config.lm_arch
+    D, Dff = arch.n_embd, 4 * arch.n_embd
+    XI = config.xattn_dim_head * config.xattn_heads
+    assert D == CW, f"megakernel assumes n_embd == {CW}, got {D}"
+    assert XI <= CW and Dff % CW == 0
+    L = arch.n_layer
+    offs, n_chunks = _sched(D, Dff)
+    soffs, SMALL = _small_layout(D, Dff, n_chunks)
+
+    def pad2(x, rows, cols):
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+    def pad1(v, n):
+        v = jnp.asarray(v, jnp.float32).reshape(-1)
+        return jnp.pad(v, (0, n - v.shape[0]))
+
+    def chunks_cols(p, n):
+        w = jnp.asarray(p["w8"])
+        s = jnp.asarray(p["scale"], jnp.float32)
+        wp = pad2(w, CW, n * CW)
+        sp = pad1(s, n * CW)
+        return ([wp[:, c * CW:(c + 1) * CW] for c in range(n)],
+                [sp[c * CW:(c + 1) * CW] for c in range(n)])
+
+    def chunks_rows(p, n):
+        w = jnp.asarray(p["w8"])
+        s = jnp.asarray(p["scale"], jnp.float32)
+        wp = pad2(w, n * CW, CW)
+        scales = [pad1(s, CW)] + [jnp.zeros((CW,), jnp.float32)] * (n - 1)
+        return ([wp[r * CW:(r + 1) * CW, :] for r in range(n)], scales)
+
+    zero_chunk = jnp.zeros((CW, CW), jnp.int8)
+    zero_scale = jnp.zeros((CW,), jnp.float32)
+    zvec = lambda n: jnp.zeros((n,), jnp.float32)
+
+    layer_w, layer_s = [], []
+    for l in range(L):
+        bp = lm["blocks"][l]
+        assert "w8" in bp["c_attn"], "megakernel needs int8-quantized weights"
+        key = str(l)
+        wlist, slist = [], []
+        if key in params["xattn"]:
+            xb = params["xattn"][key]
+            at = xb["attn"]
+            assert xb["ffw"]["fc1"]["w8"].shape[1] == Dff, \
+                "megakernel assumes xattn_ff_mult == 4"
+            for p, n, kind in ((at["to_q"], 1, "c"), (at["to_out"], 1, "r"),
+                               (xb["ffw"]["fc1"], Dff // CW, "c"),
+                               (xb["ffw"]["fc2"], Dff // CW, "r")):
+                ws, ss = (chunks_cols if kind == "c" else chunks_rows)(p, n)
+                wlist += ws
+                slist += ss
+            xn_s, xn_b = at["norm"]["scale"], at["norm"]["bias"]
+            xfn_s, xfn_b = xb["ffw"]["norm"]["scale"], xb["ffw"]["norm"]["bias"]
+            gates = jnp.concatenate([
+                jnp.tanh(jnp.asarray(xb["alpha_attn"], jnp.float32)),
+                jnp.tanh(jnp.asarray(xb["alpha_ffw"], jnp.float32)),
+                zvec(126)])
+        else:
+            n_x = 2 + 2 * (Dff // CW)
+            wlist += [zero_chunk] * n_x
+            slist += [zero_scale] * n_x
+            xn_s = xn_b = xfn_s = xfn_b = zvec(D)
+            gates = zvec(128)
+        for p, n, kind in ((bp["c_attn"], 3 * D // CW, "c"),
+                           (bp["c_proj"], 1, "c"),
+                           (bp["mlp_fc"], Dff // CW, "c"),
+                           (bp["mlp_proj"], Dff // CW, "r")):
+            ws, ss = (chunks_cols if kind == "c" else chunks_rows)(p, n)
+            wlist += ws
+            slist += ss
+        assert len(wlist) == n_chunks, (len(wlist), n_chunks)
+        # small row: fields concatenated in _small_layout order
+        row = jnp.concatenate([
+            pad1(bp["ln_1"]["scale"], D), pad1(bp["ln_1"]["bias"], D),
+            pad1(bp["ln_2"]["scale"], D), pad1(bp["ln_2"]["bias"], D),
+            pad1(xn_s, D), pad1(xn_b, D), pad1(xfn_s, D), pad1(xfn_b, D),
+            pad1(bp["c_attn"]["b"], 3 * D), pad1(bp["c_proj"]["b"], D),
+            pad1(bp["mlp_fc"]["b"], Dff), pad1(bp["mlp_proj"]["b"], D),
+            gates, jnp.concatenate(slist)])
+        row = jnp.pad(row, (0, SMALL - row.shape[0]))
+        layer_w.append(jnp.stack(wlist))
+        layer_s.append(row)
+
+    layout = dict(offs=offs, soffs=soffs, n_chunks=n_chunks, SMALL=SMALL,
+                  D=D, Dff=Dff, XI=XI)
+    return {"w8": jnp.stack(layer_w), "small": jnp.stack(layer_s),
+            "layout": layout}
+
+
+def pack_xattn_kv_flat(xattn_kv: Dict[str, Tuple], n_layer: int):
+    """{layer: (k, v)} with k (b, XH, NMNV, dh) -> flat T-major stacks
+    (n_layer, NMNV, b, XI) bf16 (zeros for layers without xattn)."""
+    any_kv = next(iter(xattn_kv.values()))
+    assert not isinstance(any_kv, dict), \
+        "megakernel path needs bf16 xattn K/V (int8_kv_cache off)"
+    k0, _ = any_kv
+    b, XH, NMNV, dh = k0.shape
+    XI = XH * dh
+    ks = jnp.zeros((n_layer, NMNV, b, XI), jnp.bfloat16)
+    vs = jnp.zeros((n_layer, NMNV, b, XI), jnp.bfloat16)
+    for key, (k, v) in xattn_kv.items():
+        l = int(key)
+        ks = ks.at[l].set(
+            k.transpose(2, 0, 1, 3).reshape(NMNV, b, XI).astype(jnp.bfloat16))
+        vs = vs.at[l].set(
+            v.transpose(2, 0, 1, 3).reshape(NMNV, b, XI).astype(jnp.bfloat16))
+    return ks, vs
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _grouped_attention(q_bf, stream_k, stream_v, n_chunks, chunk_rows,
+                       n_head, dh, scale, valid_fn, B,
+                       round_scores: bool = False):
+    """Grouped cross-batch masked attention (the ops/pallas_decode v3 form)
+    over chunked (rows, B, D) K/V streams delivered by ``stream_k/v(j)``
+    (each returns the j-th (chunk_rows, B, D) bf16 block, blocking).
+
+    q_bf: (B, D) bf16 (pre-scaled per HF convention is NOT applied here —
+    ``scale`` multiplies scores post-matmul). valid_fn(j, rows_i, cols_i)
+    -> bool (GH, TG) validity for chunk j. Returns (B, D) f32 UNnormalized
+    accumulator and (B, n_head) l-sums — caller divides.
+    """
+    D = q_bf.shape[1]
+    G = max(1, 128 // n_head)
+    while B % G:
+        G -= 1
+    GH, TG = G * n_head, chunk_rows * G
+    selT = jnp.where(
+        (lax.broadcasted_iota(jnp.int32, (n_head, D), 1) // dh)
+        == lax.broadcasted_iota(jnp.int32, (n_head, D), 0),
+        1.0, 0.0).astype(jnp.bfloat16)
+    rows_i = lax.broadcasted_iota(jnp.int32, (GH, TG), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (GH, TG), 1)
+
+    n_groups = B // G
+    m = [jnp.full((GH, 1), NEG, jnp.float32) for _ in range(n_groups)]
+    lsum = [jnp.zeros((GH, 1), jnp.float32) for _ in range(n_groups)]
+    acc = [jnp.zeros((GH, D), jnp.float32) for _ in range(n_groups)]
+
+    for j in range(n_chunks):
+        kj = stream_k(j)
+        vj = stream_v(j)
+        for g in range(n_groups):
+            sl = slice(g * G, (g + 1) * G)
+            qr = (selT[None] * q_bf[sl][:, None, :]).reshape(GH, D)
+            kg = kj[:, sl, :].reshape(TG, D)
+            vg = vj[:, sl, :].reshape(TG, D)
+            s = lax.dot_general(qr, kg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+            if round_scores:
+                # the XLA masked-xattn path casts scores to bf16 before the
+                # mask/softmax chain (ops/attention notes) — mirror exactly
+                s = s.astype(jnp.bfloat16).astype(jnp.float32)
+            valid = valid_fn(j, g, rows_i, cols_i)
+            s = jnp.where(valid, s, NEG)
+            m_new = jnp.maximum(m[g], jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m[g] - m_new)
+            p = jnp.exp(s - m_new)
+            lsum[g] = lsum[g] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m[g] = m_new
+            bhd = lax.dot_general(p.astype(jnp.bfloat16), vg,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            acc[g] = acc[g] * alpha + bhd
+    accf = jnp.concatenate(acc, axis=0)          # (B*H, D)
+    lf = jnp.concatenate(lsum, axis=0)           # (B*H, 1)
+    selTf = selT.astype(jnp.float32)
+    out = jnp.sum((accf / jnp.maximum(lf, 1e-30)).reshape(B, n_head, D)
+                  * selTf[None], axis=1)          # (B, D) f32
+    return out
+
+
+def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
+                  B, T, NMNV, act):
+    NC = layout["n_chunks"]
+    D = layout["D"]
+    Dff = layout["Dff"]
+    XI = layout["XI"]
+    offs = layout["soffs"]
+    woffs = layout["offs"]
+    dh = D // n_head
+    xdh = XI // xattn_heads
+    n_kv_chunks = -(-kv_limit // KV_BLK)
+
+    def kernel(cur_ref, npad_ref, tt_ref, x_ref,
+               w_ref, small_ref, xk_ref, xv_ref, kc_in, vc_in,
+               o_ref, kc_out, vc_out,
+               xbuf, wbuf, smallb, kvrow, krd, vrd, xkb, xvb,
+               wsem, ssem, rowsem, kvsem, xsem):
+        l = pl.program_id(0)
+        cur = cur_ref[0]
+
+        @pl.when(l == 0)
+        def _():
+            xbuf[...] = x_ref[...]
+
+        # ---- per-layer smalls + first weight chunk ----------------------
+        sdma = pltpu.make_async_copy(small_ref.at[pl.ds(l, 1)], smallb, ssem)
+        sdma.start()
+
+        def wdma(slot, c):
+            return pltpu.make_async_copy(w_ref.at[l].at[pl.ds(c, 1)],
+                                         wbuf.at[pl.ds(slot, 1)],
+                                         wsem.at[slot])
+
+        wdma(0, 0).start()
+        # xattn K/V: single-shot DMAs, overlap with the weight stream
+        xkd = pltpu.make_async_copy(xk_ref.at[l], xkb, xsem.at[0])
+        xvd = pltpu.make_async_copy(xv_ref.at[l], xvb, xsem.at[1])
+        xkd.start()
+        xvd.start()
+        sdma.wait()
+
+        state = {"c": 0}
+
+        def next_chunk():
+            c = state["c"]
+            slot = c % 2
+            if c + 1 < NC:
+                wdma((c + 1) % 2, c + 1).start()
+            wdma(slot, c).wait()
+            state["c"] = c + 1
+            return wbuf[slot]
+
+        def sget(name, n):
+            return smallb[0:1, offs[name]:offs[name] + n]     # (1, n) f32
+
+        def wscale(c):
+            base = offs["wscale"] + c * CW
+            return smallb[0:1, base:base + CW]                # (1, CW) f32
+
+        def ln(x_bf, sname, bname):
+            x32 = x_bf.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+            y = (x32 - mean) * lax.rsqrt(var + 1e-5)
+            y = y * sget(sname, D) + sget(bname, D)
+            return y.astype(jnp.bfloat16)
+
+        def mm_cols(x_bf, name, n, bias_name=None, bias_width=None):
+            outs = []
+            base = woffs[name]
+            for c in range(n):
+                wc = next_chunk().astype(jnp.bfloat16)
+                y = lax.dot_general(x_bf, wc, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                y = y * wscale(base + c)
+                y = y.astype(jnp.bfloat16)
+                if bias_name is not None:
+                    bw = bias_width if bias_width is not None else n * CW
+                    b = sget(bias_name, bw)[:, c * CW:(c + 1) * CW]
+                    y = y + b.astype(jnp.bfloat16)
+                outs.append(y)
+            return outs
+
+        def mm_rows(h_list, name, n, bias_name=None):
+            base = woffs[name]
+            acc = jnp.zeros((B, CW), jnp.float32)
+            for r in range(n):
+                wc = next_chunk().astype(jnp.bfloat16)
+                acc = acc + lax.dot_general(h_list[r], wc,
+                                            (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+            y = (acc * wscale(base)).astype(jnp.bfloat16)
+            if bias_name is not None:
+                y = y + sget(bias_name, CW).astype(jnp.bfloat16)
+            return y
+
+        x = xbuf[...]                                         # (B, D) bf16
+
+        # ================= gated xattn block =============================
+        y_n = ln(x, "xn_s", "xn_b")
+        q = mm_cols(y_n, "xq", 1)[0]                          # (B, CW) bf16
+        # used columns: [0, XI); the rest are zero-padded weights -> zeros
+        q = q * jnp.asarray(xdh ** -0.5, jnp.bfloat16)        # pre-score scale
+        xkd.wait()
+        xvd.wait()
+        tt = tt_ref[:, :1]                                    # (B, 1) int32
+
+        def x_valid(j, g, rows_i, cols_i):
+            G = rows_i.shape[0] // xattn_heads
+            sl = slice(g * G, (g + 1) * G)
+            same_b = (rows_i // xattn_heads) == (cols_i % G)
+            latent = cols_i // G                              # latent index
+            media_time = latent // n_visual + 1
+            ttg = jnp.broadcast_to(
+                tt[sl][:, None, :], (G, xattn_heads, 1)).reshape(
+                    G * xattn_heads, 1)
+            return same_b & (media_time == ttg)
+
+        # q columns beyond XI are zero but would still get uniform softmax
+        # weight over masked-NEG rows... they are killed because the heads
+        # only span [0, XI): treat the padded tail as extra heads? No — the
+        # attention runs on XI lanes only:
+        xat = _grouped_attention(
+            q[:, :XI] if XI != CW else q, lambda j: xkb[...],
+            lambda j: xvb[...], 1, NMNV, xattn_heads, xdh, 1.0,
+            x_valid, B, round_scores=True)                     # (B, XI) f32
+        # no-media rows: post-softmax zeroing (tt == 0)
+        xat = jnp.where(tt > 0, xat, 0.0)
+        if XI != CW:
+            xat = jnp.concatenate(
+                [xat, jnp.zeros((B, CW - XI), jnp.float32)], axis=1)
+        xo = mm_rows([xat.astype(jnp.bfloat16)], "xo", 1)     # (B, D) bf16
+        g_attn = sget("gates", 128)[:, 0:1].astype(jnp.bfloat16)
+        x = x + g_attn * xo
+        # gated FFW: LN -> fc1 -> act -> fc2 (ops.layers.feed_forward)
+        h = ln(x, "xfn_s", "xfn_b")
+        hs = mm_cols(h, "xf1", Dff // CW)
+        hs = [act(p) for p in hs]
+        xf = mm_rows(hs, "xf2", Dff // CW)
+        g_ffw = sget("gates", 128)[:, 1:2].astype(jnp.bfloat16)
+        x = x + g_ffw * xf
+
+        # ================= GPT-2 block ===================================
+        h1 = ln(x, "ln1_s", "ln1_b")
+        qkv = mm_cols(h1, "qkv", 3, bias_name="b_qkv")        # [q, k, v]
+        ql, kl, vl = qkv
+
+        # cache write at cur, then chunked attention reads it back
+        kvrow[0, 0] = kl
+        kvrow[1, 0] = vl
+        wk = pltpu.make_async_copy(kvrow.at[0], kc_out.at[l].at[pl.ds(cur, 1)],
+                                   rowsem.at[0])
+        wv = pltpu.make_async_copy(kvrow.at[1], vc_out.at[l].at[pl.ds(cur, 1)],
+                                   rowsem.at[1])
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
+
+        def kv_dma(buf, src, slot, j, sem_base):
+            return pltpu.make_async_copy(
+                src.at[l].at[pl.ds(j * KV_BLK, KV_BLK)],
+                buf.at[slot], kvsem.at[sem_base + slot])
+
+        kv_dma(krd, kc_out, 0, 0, 0).start()
+        kv_dma(vrd, vc_out, 0, 0, 2).start()
+        npad = npad_ref[:, :1]                                # (B, 1) int32
+
+        def stream(buf, src, sem_base):
+            def get(j):
+                slot = j % 2
+                if j + 1 < n_kv_chunks:
+                    kv_dma(buf, src, (j + 1) % 2, j + 1, sem_base).start()
+                kv_dma(buf, src, slot, j, sem_base).wait()
+                return buf[slot]
+            return get
+
+        def a_valid(j, g, rows_i, cols_i):
+            G = rows_i.shape[0] // n_head
+            sl = slice(g * G, (g + 1) * G)
+            same_b = (rows_i // n_head) == (cols_i % G)
+            t_pos = j * KV_BLK + cols_i // G
+            npg = jnp.broadcast_to(
+                npad[sl][:, None, :], (G, n_head, 1)).reshape(G * n_head, 1)
+            return same_b & (t_pos >= npg) & (t_pos <= cur)
+
+        att = _grouped_attention(
+            ql, stream(krd, kc_out, 0), stream(vrd, vc_out, 2),
+            n_kv_chunks, KV_BLK, n_head, dh, dh ** -0.5, a_valid, B)
+        ao = mm_cols(att.astype(jnp.bfloat16), "o", 1, bias_name="b_o",
+                     bias_width=CW)[0]
+        x = x + ao
+        h2 = ln(x, "ln2_s", "ln2_b")
+        hs = mm_cols(h2, "fc", Dff // CW, bias_name="b_fc")
+        hs = [act(p) for p in hs]
+        mo = mm_rows(hs, "pr", Dff // CW, bias_name="b_pr")
+        x = x + mo
+
+        xbuf[...] = x
+
+        @pl.when(l == pl.num_programs(0) - 1)
+        def _():
+            o_ref[...] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_head", "xattn_heads", "n_visual", "kv_limit", "layout_key", "act_name",
+    "interpret"))
+def _mega_call(cur, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
+               n_head, xattn_heads, n_visual, kv_limit, layout_key, act_name,
+               interpret):
+    layout = dict(layout_key)
+    layout["offs"] = dict(layout["offs"])
+    layout["soffs"] = dict(layout["soffs"])
+    L, T, B, D = kc.shape
+    NMNV = xk.shape[1]
+    SMALL = layout["SMALL"]
+    NC = layout["n_chunks"]
+    from . import layers as _layers
+    act = _layers.get_activation(act_name)
+
+    kern = _build_kernel(n_head=n_head, xattn_heads=xattn_heads,
+                         n_visual=n_visual, kv_limit=kv_limit, layout=layout,
+                         B=B, T=T, NMNV=NMNV, act=act)
+    npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (B, 128))
+    tt_v = jnp.broadcast_to(text_time.astype(jnp.int32).reshape(B)[:, None],
+                            (B, 128))
+    out, kc2, vc2 = pl.pallas_call(
+        kern,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # npad
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # text_time
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x
+            pl.BlockSpec(memory_space=pl.ANY),       # w8
+            pl.BlockSpec(memory_space=pl.ANY),       # small
+            pl.BlockSpec(memory_space=pl.ANY),       # xk
+            pl.BlockSpec(memory_space=pl.ANY),       # xv
+            pl.BlockSpec(memory_space=pl.ANY),       # kc
+            pl.BlockSpec(memory_space=pl.ANY),       # vc
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ],
+        input_output_aliases={8: 1, 9: 2},
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.bfloat16),              # xbuf
+            pltpu.VMEM((2, CW, CW), jnp.int8),             # wbuf ping-pong
+            pltpu.VMEM((1, SMALL), jnp.float32),           # smallb
+            pltpu.VMEM((2, 1, B, D), jnp.bfloat16),        # kvrow (k, v)
+            pltpu.VMEM((2, KV_BLK, B, D), jnp.bfloat16),   # krd
+            pltpu.VMEM((2, KV_BLK, B, D), jnp.bfloat16),   # vrd
+            pltpu.VMEM((NMNV, B, XISZ(layout)), jnp.bfloat16),  # xkb
+            pltpu.VMEM((NMNV, B, XISZ(layout)), jnp.bfloat16),  # xvb
+            pltpu.SemaphoreType.DMA((2,)),                 # wsem
+            pltpu.SemaphoreType.DMA(()),                   # ssem
+            pltpu.SemaphoreType.DMA((2,)),                 # rowsem
+            pltpu.SemaphoreType.DMA((4,)),                 # kvsem
+            pltpu.SemaphoreType.DMA((2,)),                 # xsem
+        ],
+        interpret=interpret,
+    )(jnp.reshape(cur, (1,)).astype(jnp.int32), npad_v, tt_v, x,
+      w8, small, xk, xv, kc, vc)
+    return out, kc2, vc2
+
+
+def XISZ(layout):
+    return layout["XI"]
+
+
+def hashable_layout(layout: dict):
+    return (("offs", tuple(sorted(layout["offs"].items()))),
+            ("soffs", tuple(sorted(layout["soffs"].items()))),
+            ("n_chunks", layout["n_chunks"]), ("SMALL", layout["SMALL"]),
+            ("D", layout["D"]), ("Dff", layout["Dff"]), ("XI", layout["XI"]))
+
+
+def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
+                           cur, *, config, kv_limit, interpret=None):
+    """One decode step through the megakernel. Returns (hidden (b, D) bf16,
+    new kc, new vc). Caches are donated/aliased."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    arch = config.lm_arch
+    kv_limit = min(kv_limit if kv_limit is not None else kc.shape[1],
+                   kc.shape[1])
+    return _mega_call(
+        cur, npad, text_time, x_emb, packed["w8"], packed["small"], xk, xv,
+        kc, vc, n_head=arch.n_head, xattn_heads=config.xattn_heads,
+        n_visual=config.resampler_num_latents, kv_limit=kv_limit,
+        layout_key=hashable_layout(packed["layout"]),
+        act_name=arch.activation, interpret=interpret)
