@@ -99,9 +99,13 @@ def bench_ours() -> float:
                       # (r4 default; FLAMINGO_BENCH_FLAT=0 for the r3 path)
                       flat_kv_cache=os.environ.get(
                           "FLAMINGO_BENCH_FLAT", "1") == "1",
-                      # whole-step megakernel (ops/pallas_megadecode.py)
+                      # whole-step megakernel (ops/pallas_megadecode.py):
+                      # the r4 deployment fast path (greedy, int8, GPT-2
+                      # 1024-wide — exactly the headline config; token
+                      # parity with the regular engine is test-enforced).
+                      # FLAMINGO_BENCH_MEGA=0 for the per-layer-kernel path.
                       megakernel=os.environ.get(
-                          "FLAMINGO_BENCH_MEGA") == "1")
+                          "FLAMINGO_BENCH_MEGA", "0" if SMOKE else "1") == "1")
 
     # Methodology (see BENCH.md): remote-attached devices (this sandbox's TPU
     # tunnel) ship input buffers per call and cache same-buffer repeats, so

@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = float(jnp.finfo(jnp.float32).min)
 CW = 1024          # chunk width: one 1024x1024 int8 (1 MB) MXU-ready tile
-KV_BLK = 16        # cache-read chunk rows
+KV_BLK = 8         # cache-read chunk rows (16 puts the VMEM stack 512 B over)
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +180,17 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
 
     layout = dict(offs=offs, soffs=soffs, n_chunks=n_chunks, SMALL=SMALL,
                   D=D, Dff=Dff, XI=XI)
-    return {"w8": jnp.stack(layer_w), "small": jnp.stack(layer_s),
-            "layout": layout}
+    # gate scalars ride SMEM (Mosaic can't broadcast a (1,1) vector over
+    # both sublanes and lanes, but scalar * vector is native); pre-rounded
+    # to bf16 so the in-kernel f32 product rounds bit-identically to the
+    # XLA path's bf16 x bf16 multiply
+    gates_smem = jnp.stack(layer_s)[:, soffs["gates"]:soffs["gates"] + 2]
+    gates_smem = gates_smem.astype(jnp.bfloat16).astype(jnp.float32)
+    # (L, 1, SMALL): the layer index must ride an untiled MAJOR dim — a 2D
+    # (L, SMALL) memref is (8, 128)-tiled even in HBM and a dim-0 slice of
+    # one row is misaligned (Mosaic memref_slice)
+    return {"w8": jnp.stack(layer_w), "small": jnp.stack(layer_s)[:, None, :],
+            "gates": gates_smem, "layout": layout}
 
 
 def pack_xattn_kv_flat(xattn_kv: Dict[str, Tuple], n_layer: int):
@@ -283,7 +292,7 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
     xdh = XI // xattn_heads
     n_kv_chunks = -(-kv_limit // KV_BLK)
 
-    def kernel(cur_ref, npad_ref, tt_ref, x_ref,
+    def kernel(cur_ref, gates_ref, npad_ref, tt_ref, x_ref,
                w_ref, small_ref, xk_ref, xv_ref, kc_in, vc_in,
                o_ref, kc_out, vc_out,
                xbuf, wbuf, smallb, kvrow, krd, vrd, xkb, xvb,
@@ -296,7 +305,7 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
             xbuf[...] = x_ref[...]
 
         # ---- per-layer smalls + first weight chunk ----------------------
-        sdma = pltpu.make_async_copy(small_ref.at[pl.ds(l, 1)], smallb, ssem)
+        sdma = pltpu.make_async_copy(small_ref.at[l], smallb, ssem)
         sdma.start()
 
         def wdma(slot, c):
@@ -324,11 +333,11 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
             return wbuf[slot]
 
         def sget(name, n):
-            return smallb[0:1, offs[name]:offs[name] + n]     # (1, n) f32
+            return smallb[:, offs[name]:offs[name] + n]     # (1, n) f32
 
         def wscale(c):
             base = offs["wscale"] + c * CW
-            return smallb[0:1, base:base + CW]                # (1, CW) f32
+            return smallb[:, base:base + CW]                # (1, CW) f32
 
         def ln(x_bf, sname, bname):
             x32 = x_bf.astype(jnp.float32)
@@ -403,15 +412,19 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
             xat = jnp.concatenate(
                 [xat, jnp.zeros((B, CW - XI), jnp.float32)], axis=1)
         xo = mm_rows([xat.astype(jnp.bfloat16)], "xo", 1)     # (B, D) bf16
-        g_attn = sget("gates", 128)[:, 0:1].astype(jnp.bfloat16)
-        x = x + g_attn * xo
+        # gate multiplies ride f32 (Mosaic can't broadcast a (1,1) bf16 over
+        # both sublanes and lanes); the gate is rounded to bf16 first so the
+        # f32 product rounded back to bf16 is bit-identical to the XLA
+        # path's bf16 x bf16 multiply
+        g_attn = gates_ref[l, 0]                               # SMEM scalar
+        x = x + (g_attn * xo.astype(jnp.float32)).astype(jnp.bfloat16)
         # gated FFW: LN -> fc1 -> act -> fc2 (ops.layers.feed_forward)
         h = ln(x, "xfn_s", "xfn_b")
         hs = mm_cols(h, "xf1", Dff // CW)
         hs = [act(p) for p in hs]
         xf = mm_rows(hs, "xf2", Dff // CW)
-        g_ffw = sget("gates", 128)[:, 1:2].astype(jnp.bfloat16)
-        x = x + g_ffw * xf
+        g_ffw = gates_ref[l, 1]                                # SMEM scalar
+        x = x + (g_ffw * xf.astype(jnp.float32)).astype(jnp.bfloat16)
 
         # ================= GPT-2 block ===================================
         h1 = ln(x, "ln1_s", "ln1_b")
@@ -481,7 +494,7 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "xattn_heads", "n_visual", "kv_limit", "layout_key", "act_name",
     "interpret"))
-def _mega_call(cur, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
+def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
                n_head, xattn_heads, n_visual, kv_limit, layout_key, act_name,
                interpret):
     layout = dict(layout_key)
@@ -505,27 +518,29 @@ def _mega_call(cur, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
         grid=(L,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # gates
             pl.BlockSpec(memory_space=pltpu.VMEM),   # npad
             pl.BlockSpec(memory_space=pltpu.VMEM),   # text_time
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x
-            pl.BlockSpec(memory_space=pl.ANY),       # w8
-            pl.BlockSpec(memory_space=pl.ANY),       # small
-            pl.BlockSpec(memory_space=pl.ANY),       # xk
-            pl.BlockSpec(memory_space=pl.ANY),       # xv
-            pl.BlockSpec(memory_space=pl.ANY),       # kc
-            pl.BlockSpec(memory_space=pl.ANY),       # vc
+            pl.BlockSpec(memory_space=pltpu.HBM),    # w8
+            pl.BlockSpec(memory_space=pltpu.HBM),    # small (ANY could
+            # choose VMEM, whose dim-0 slices must be tile-aligned)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # xk
+            pl.BlockSpec(memory_space=pltpu.HBM),    # xv
+            pl.BlockSpec(memory_space=pltpu.HBM),    # kc
+            pl.BlockSpec(memory_space=pltpu.HBM),    # vc
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, D), jnp.bfloat16),
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ],
-        input_output_aliases={8: 1, 9: 2},
+        input_output_aliases={9: 1, 10: 2},
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.bfloat16),              # xbuf
             pltpu.VMEM((2, CW, CW), jnp.int8),             # wbuf ping-pong
@@ -542,7 +557,7 @@ def _mega_call(cur, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
             pltpu.SemaphoreType.DMA((2,)),                 # xsem
         ],
         interpret=interpret,
-    )(jnp.reshape(cur, (1,)).astype(jnp.int32), npad_v, tt_v, x,
+    )(jnp.reshape(cur, (1,)).astype(jnp.int32), gates, npad_v, tt_v, x,
       w8, small, xk, xv, kc, vc)
     return out, kc2, vc2
 
@@ -568,7 +583,8 @@ def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
     kv_limit = min(kv_limit if kv_limit is not None else kc.shape[1],
                    kc.shape[1])
     return _mega_call(
-        cur, npad, text_time, x_emb, packed["w8"], packed["small"], xk, xv,
+        cur, packed["gates"], npad, text_time, x_emb, packed["w8"],
+        packed["small"], xk, xv,
         kc, vc, n_head=arch.n_head, xattn_heads=config.xattn_heads,
         n_visual=config.resampler_num_latents, kv_limit=kv_limit,
         layout_key=hashable_layout(packed["layout"]),
