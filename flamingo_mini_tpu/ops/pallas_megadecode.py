@@ -45,8 +45,6 @@ from __future__ import annotations
 import functools
 from typing import Any, Dict, Tuple
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -548,8 +546,8 @@ def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
             pltpu.VMEM((2, 1, B, D), jnp.bfloat16),        # kvrow (k, v)
             pltpu.VMEM((2, KV_BLK, B, D), jnp.bfloat16),   # krd
             pltpu.VMEM((2, KV_BLK, B, D), jnp.bfloat16),   # vrd
-            pltpu.VMEM((NMNV, B, XISZ(layout)), jnp.bfloat16),  # xkb
-            pltpu.VMEM((NMNV, B, XISZ(layout)), jnp.bfloat16),  # xvb
+            pltpu.VMEM((NMNV, B, layout["XI"]), jnp.bfloat16),  # xkb
+            pltpu.VMEM((NMNV, B, layout["XI"]), jnp.bfloat16),  # xvb
             pltpu.SemaphoreType.DMA((2,)),                 # wsem
             pltpu.SemaphoreType.DMA(()),                   # ssem
             pltpu.SemaphoreType.DMA((2,)),                 # rowsem
@@ -560,10 +558,6 @@ def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
     )(jnp.reshape(cur, (1,)).astype(jnp.int32), gates, npad_v, tt_v, x,
       w8, small, xk, xv, kc, vc)
     return out, kc2, vc2
-
-
-def XISZ(layout):
-    return layout["XI"]
 
 
 def hashable_layout(layout: dict):
