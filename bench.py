@@ -105,7 +105,12 @@ def bench_ours() -> float:
                       # parity with the regular engine is test-enforced).
                       # FLAMINGO_BENCH_MEGA=0 for the per-layer-kernel path.
                       megakernel=os.environ.get(
-                          "FLAMINGO_BENCH_MEGA", "0" if SMOKE else "1") == "1")
+                          "FLAMINGO_BENCH_MEGA", "0" if SMOKE else "1") == "1",
+                      # w8a8 megakernel tier (per-row int8 activations, int8
+                      # MXU dots): opt-in — it changes the numerics from
+                      # weight-only to weight+activation quantization
+                      # (fidelity measured in BENCH.md)
+                      w8a8=os.environ.get("FLAMINGO_BENCH_W8A8") == "1")
 
     # Methodology (see BENCH.md): remote-attached devices (this sandbox's TPU
     # tunnel) ship input buffers per call and cache same-buffer repeats, so

@@ -70,12 +70,24 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
                  lm.get("embed_tokens") if "embed_tokens" in lm else
                  (lm.get("wte_q") or lm["embed_tokens_q"])["w8"]).shape[0])
     pb = int(os.environ.get("FLAMINGO_BENCH_PREFIX_BLOCK", "32"))
+    int8_kv = os.environ.get("FLAMINGO_BENCH_INT8_KV") == "1"
+    # whole-step megakernel: the r4 deployment fast path wherever it applies
+    # (int8 GPT-2 trunk with n_embd % 128 == 0, single-beam, bf16 KV);
+    # FLAMINGO_BENCH_MEGA=0 for the per-layer-kernel path
+    from flamingo_mini_tpu.configuration_flamingo import GPT2Arch
+    use_mega = (os.environ.get("FLAMINGO_BENCH_MEGA", "1") == "1"
+                and num_beams == 1 and not int8_kv
+                and isinstance(config.lm_arch, GPT2Arch)
+                and config.lm_arch.n_embd % 128 == 0
+                and "wte_q" in params["lm"])
     dc = DecodeConfig(max_length=prompt_len + decode_tokens,
                       eos_token_id=vocab + 1, pad_token_id=0,
                       num_beams=num_beams, do_sample=do_sample, top_k=top_k,
-                      int8_kv_cache=os.environ.get(
-                          "FLAMINGO_BENCH_INT8_KV") == "1",
+                      int8_kv_cache=int8_kv,
                       prefix_block=pb,
+                      megakernel=use_mega,
+                      w8a8=use_mega
+                      and os.environ.get("FLAMINGO_BENCH_W8A8") == "1",
                       beam_reorder=os.environ.get(
                           "FLAMINGO_BENCH_BEAM_REORDER", "lazy"))
 

@@ -109,9 +109,16 @@ class DecodeConfig:
     # Whole-decode-step Pallas megakernel (ops/pallas_megadecode.py): all
     # gated-xattn + GPT-2 layers in ONE launch per token, weights + KV
     # streamed back-to-back. Greedy/sample fast path; requires the flat
-    # cache, int8 LM+xattn weights, GPT-2 trunk with n_embd=1024, bf16
-    # xattn K/V, single device. Falls back (ValueError) otherwise.
+    # cache, int8 LM+xattn weights, GPT-2 trunk with n_embd % 128 == 0,
+    # bf16 xattn K/V, single device. Falls back (ValueError) otherwise.
     megakernel: bool = False
+    # w8a8 tier (requires megakernel): the trunk linears quantize their
+    # activations per row (symmetric absmax int8) and run int8 x int8 MXU
+    # dots — no per-chunk weight convert, 2x MXU rate. This CHANGES the
+    # numerics from weight-only to weight+activation quantization; fidelity
+    # is measured in BENCH.md (tools/int8_fidelity.py --w8a8). Attention
+    # (KV streams) stays bf16.
+    w8a8: bool = False
     # Return sequence scores alongside token ids (HF return_dict_in_generate/
     # output_scores surface): greedy/sample accumulate the chosen token's
     # log-prob under the post-processor (and, when sampling, post-warper)
@@ -156,6 +163,9 @@ class DecodeConfig:
                 raise ValueError(
                     "exponential_decay_length_penalty decay factor must be "
                     f"> 0, got {_factor}")
+        if self.w8a8 and not self.megakernel:
+            raise ValueError("w8a8 (int8 activation quantization) is a "
+                             "megakernel tier — set megakernel=True")
         if self.beam_reorder not in ("gather", "lazy"):
             raise ValueError(
                 f"beam_reorder must be 'gather' or 'lazy', "
@@ -585,7 +595,8 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
                 x = (emb + lm["wpe"].astype(policy.dtype)[st["pos_next"]])[:, 0]
                 hidden, kc, vc = mega.decode_step_megakernel(
                     packed, xkf, xvf, st["kc"], st["vc"], x, npad0,
-                    st["media_count"], cur, config=config, kv_limit=kv_limit)
+                    st["media_count"], cur, config=config, kv_limit=kv_limit,
+                    act_quant=dc.w8a8)
                 from .ops.layers import layer_norm as _ln
                 h = _ln(hidden[:, None, :], lm["ln_f"],
                         arch.layer_norm_epsilon)
@@ -715,15 +726,25 @@ def generate(
             rep(input_ids), rep(media_locations), rep(attention_mask))
         pixel_values, visual_features = rep(pixel_values), rep(visual_features)
 
+    dp_shard_fast = False
     if mesh is not None and len(mesh.devices.flat) > 1:
-        if dc.flat_kv_cache:
-            # the Pallas decode kernel is not yet shard_map-wrapped: under
-            # GSPMD a pallas_call forces replication of its operands (an
-            # all-gather of the sharded cache per step). Multi-device
-            # serving keeps the head-layout XLA attention until the kernel
-            # grows a shard_map path.
-            from dataclasses import replace as _dc_replace
-            dc = _dc_replace(dc, flat_kv_cache=False)
+        if dc.flat_kv_cache or dc.megakernel:
+            # Pallas kernels can't run under plain GSPMD (a pallas_call
+            # forces replication of its operands — an all-gather of the
+            # sharded cache per step). For pure data parallelism the decode
+            # is batch-row independent, so the whole single-device program
+            # (flat-cache kernels, megakernel included) runs per-shard under
+            # shard_map: N-chip DP serving at single-chip kernel throughput.
+            # TP/beam/constrained/contrastive paths keep the head-layout
+            # XLA attention, which GSPMD shards fine.
+            if (not tensor_parallel and dc.num_beams == 1
+                    and dc.force_words_ids is None and dc.penalty_alpha == 0.0
+                    and input_ids.shape[0] % mesh.devices.shape[0] == 0):
+                dp_shard_fast = True
+            else:
+                from dataclasses import replace as _dc_replace
+                dc = _dc_replace(dc, flat_kv_cache=False, megakernel=False,
+                                 w8a8=False)
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_data = mesh.devices.shape[0]
         if input_ids.shape[0] % n_data != 0:
@@ -776,9 +797,43 @@ def generate(
                                     visual_features,
                                     pixel_values=pixel_values)
 
-    tokens, _n, scores = _generate_impl(params, config, dc, policy, input_ids,
-                                        media_locations, attention_mask,
-                                        visual_features, pixel_values, rng)
+    if dp_shard_fast:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        dname = mesh.axis_names[0]
+        arrs = {"ids": input_ids, "media": media_locations,
+                "mask": attention_mask}
+        if visual_features is not None:
+            arrs["vf"] = visual_features
+        if pixel_values is not None:
+            arrs["px"] = pixel_values
+        names = tuple(arrs)
+
+        def _dp_fn(ps, r, *vals):
+            kw = dict(zip(names, vals))
+            # decorrelate the per-shard sampling streams: inside shard_map
+            # every shard sees the same key, and categorical() would draw
+            # identical gumbel noise for corresponding row indices of every
+            # shard (the GSPMD path shards one global (b, V) draw instead).
+            # Greedy ignores the rng entirely.
+            r = jax.random.fold_in(r, lax.axis_index(dname))
+            return _generate_impl(ps, config, dc, policy, kw["ids"],
+                                  kw["media"], kw["mask"], kw.get("vf"),
+                                  kw.get("px"), r)
+
+        # NB the scalar step-count output is per-shard (early EOS can stop
+        # shards at different steps); it is unused here, so the P() spec
+        # just picks one shard's value (check_rep=False).
+        fn = shard_map(_dp_fn, mesh=mesh,
+                       in_specs=(P(), P()) + (P(dname),) * len(names),
+                       out_specs=(P(dname), P(), P(dname)),
+                       check_rep=False)
+        tokens, _n, scores = jax.jit(fn)(params, rng, *arrs.values())
+    else:
+        tokens, _n, scores = _generate_impl(params, config, dc, policy,
+                                            input_ids, media_locations,
+                                            attention_mask, visual_features,
+                                            pixel_values, rng)
     if dc.return_scores:
         return tokens, scores
     return tokens

@@ -194,6 +194,15 @@ def decode_attention(
     n_chunks = pl.cdiv(T, blk)
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if not interpret and D % 128 != 0:
+        # Mosaic lane tiling needs the flat feature dim to fill whole
+        # 128-lane tiles — narrow (test-scale) models fail to lower
+        # (tpu.reshape on sub-lane-tile vectors). Fall back to the exact
+        # XLA reference path; every production-scale arch (D = 768+) takes
+        # the kernel.
+        return decode_attention_reference(
+            q, k_cache, v_cache, npad, cur, n_head=n_head, scale=scale,
+            kv_limit=kv_limit)
 
     # group size: group * n_head ~= 128 (one full lane tile of score
     # columns per cross-batch dot), and group | b

@@ -15,13 +15,13 @@ async DMA at dynamic positions. Embedding lookup and the lm_head/argmax
 stay in XLA (two ops, already at roofline).
 
 Restrictions (the greedy fast path; generation.py falls back otherwise):
-int8 weights (ops/quant layout), n_embd == 1024, bf16 compute, single
-device, xattn K/V in bf16, n_media * n_visual latents fitting one VMEM
-block.
+int8 weights (ops/quant layout), n_embd a multiple of 128 lanes (768 for
+GPT-2 base, 1024 for gpt2-medium, ...), bf16 compute, single device,
+xattn K/V in bf16, n_media * n_visual latents fitting one VMEM block.
 
 Layout contracts (pack_decode_weights / pack_xattn_kv_flat):
-* weights: ONE (n_layer, N_CHUNKS, 1024, 1024) int8 array; every matrix is
-  padded into 1024 x 1024 chunks (zero row-padding contracts against
+* weights: ONE (n_layer, N_CHUNKS, D, D) int8 array; every matrix is
+  padded into D x D chunks (zero row-padding contracts against
   zero-padded activation columns — exact; zero col-padding produces
   outputs that are either sliced away or multiplied by zero downstream).
   Layers without a gated-xattn block carry zero xattn chunks AND zero
@@ -52,16 +52,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = float(jnp.finfo(jnp.float32).min)
-CW = 1024          # chunk width: one 1024x1024 int8 (1 MB) MXU-ready tile
 KV_BLK = 8         # cache-read chunk rows (16 puts the VMEM stack 512 B over)
 
 
 # ---------------------------------------------------------------------------
 # packing
 # ---------------------------------------------------------------------------
+# The chunk width CW equals n_embd: every weight matrix is padded into
+# (CW, CW) int8 MXU-ready tiles (1 MB at D=1024, 576 KB at D=768). Any
+# D that is a multiple of 128 lanes with Dff % D == 0 packs cleanly.
 
 
 def _sched(D: int, Dff: int):
+    CW = D
     sched = [("xq", 1), ("xo", 1), ("xf1", Dff // CW), ("xf2", Dff // CW),
              ("qkv", 3 * D // CW), ("o", 1), ("fc", Dff // CW),
              ("pr", Dff // CW)]
@@ -73,6 +76,7 @@ def _sched(D: int, Dff: int):
 
 
 def _small_layout(D: int, Dff: int, n_chunks: int):
+    CW = D
     fields = [("ln1_s", D), ("ln1_b", D), ("ln2_s", D), ("ln2_b", D),
               ("xn_s", D), ("xn_b", D), ("xfn_s", D), ("xfn_b", D),
               ("b_qkv", 3 * D), ("b_o", D), ("b_fc", Dff), ("b_pr", D),
@@ -94,8 +98,10 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
     lm = params["lm"]
     arch = config.lm_arch
     D, Dff = arch.n_embd, 4 * arch.n_embd
+    CW = D
     XI = config.xattn_dim_head * config.xattn_heads
-    assert D == CW, f"megakernel assumes n_embd == {CW}, got {D}"
+    assert D % 128 == 0, \
+        f"megakernel needs n_embd to fill whole 128-lane tiles, got {D}"
     assert XI <= CW and Dff % CW == 0
     L = arch.n_layer
     offs, n_chunks = _sched(D, Dff)
@@ -279,9 +285,10 @@ def _grouped_attention(q_bf, stream_k, stream_v, n_chunks, chunk_rows,
 
 
 def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
-                  B, T, NMNV, act):
+                  B, T, NMNV, act, act_quant=False):
     NC = layout["n_chunks"]
     D = layout["D"]
+    CW = D                      # chunk width == n_embd (see packing notes)
     Dff = layout["Dff"]
     XI = layout["XI"]
     offs = layout["soffs"]
@@ -345,14 +352,37 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
             y = y * sget(sname, D) + sget(bname, D)
             return y.astype(jnp.bfloat16)
 
+        def aquant(x_bf):
+            # per-row symmetric absmax int8 quantization of the activation
+            # (the w8a8 tier): amax/127 scale, round-to-nearest-even. The
+            # int8 x int8 dot accumulates in int32 whose magnitude is bounded
+            # by 127*127*1024 = 16.52M < 2^24, so the int32 -> f32 cast below
+            # is EXACT — the only numeric loss in the tier is the activation
+            # rounding itself.
+            x32 = x_bf.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(x32), axis=1, keepdims=True)    # (B, 1)
+            s = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+            q = lax.round(x32 * (1.0 / s),
+                          lax.RoundingMethod.TO_NEAREST_EVEN)
+            return q.astype(jnp.int32).astype(jnp.int8), s
+
         def mm_cols(x_bf, name, n, bias_name=None, bias_width=None):
             outs = []
             base = woffs[name]
+            if act_quant:
+                xq, xs = aquant(x_bf)
             for c in range(n):
-                wc = next_chunk().astype(jnp.bfloat16)
-                y = lax.dot_general(x_bf, wc, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                y = y * wscale(base + c)
+                wc8 = next_chunk()
+                if act_quant:
+                    # int8 MXU path: no per-chunk weight convert, 2x MXU rate
+                    y = lax.dot_general(xq, wc8, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                    y = y.astype(jnp.float32) * xs * wscale(base + c)
+                else:
+                    wc = wc8.astype(jnp.bfloat16)
+                    y = lax.dot_general(x_bf, wc, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    y = y * wscale(base + c)
                 y = y.astype(jnp.bfloat16)
                 if bias_name is not None:
                     bw = bias_width if bias_width is not None else n * CW
@@ -365,10 +395,19 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
             base = woffs[name]
             acc = jnp.zeros((B, CW), jnp.float32)
             for r in range(n):
-                wc = next_chunk().astype(jnp.bfloat16)
-                acc = acc + lax.dot_general(h_list[r], wc,
-                                            (((1,), (0,)), ((), ())),
-                                            preferred_element_type=jnp.float32)
+                wc8 = next_chunk()
+                if act_quant:
+                    # each row chunk quantizes its own activation slice (its
+                    # own per-row scale) and contributes a scaled f32 partial
+                    hq, hsr = aquant(h_list[r])
+                    p = lax.dot_general(hq, wc8, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                    acc = acc + p.astype(jnp.float32) * hsr
+                else:
+                    wc = wc8.astype(jnp.bfloat16)
+                    acc = acc + lax.dot_general(h_list[r], wc,
+                                                (((1,), (0,)), ((), ())),
+                                                preferred_element_type=jnp.float32)
             y = (acc * wscale(base)).astype(jnp.bfloat16)
             if bias_name is not None:
                 y = y + sget(bias_name, CW).astype(jnp.bfloat16)
@@ -491,10 +530,10 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "xattn_heads", "n_visual", "kv_limit", "layout_key", "act_name",
-    "interpret"))
+    "act_quant", "interpret"))
 def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
                n_head, xattn_heads, n_visual, kv_limit, layout_key, act_name,
-               interpret):
+               act_quant, interpret):
     layout = dict(layout_key)
     layout["offs"] = dict(layout["offs"])
     layout["soffs"] = dict(layout["soffs"])
@@ -507,7 +546,7 @@ def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
 
     kern = _build_kernel(n_head=n_head, xattn_heads=xattn_heads,
                          n_visual=n_visual, kv_limit=kv_limit, layout=layout,
-                         B=B, T=T, NMNV=NMNV, act=act)
+                         B=B, T=T, NMNV=NMNV, act=act, act_quant=act_quant)
     npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (B, 128))
     tt_v = jnp.broadcast_to(text_time.astype(jnp.int32).reshape(B)[:, None],
                             (B, 128))
@@ -541,7 +580,7 @@ def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
         input_output_aliases={9: 1, 10: 2},
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.bfloat16),              # xbuf
-            pltpu.VMEM((2, CW, CW), jnp.int8),             # wbuf ping-pong
+            pltpu.VMEM((2, D, D), jnp.int8),               # wbuf ping-pong
             pltpu.VMEM((1, SMALL), jnp.float32),           # smallb
             pltpu.VMEM((2, 1, B, D), jnp.bfloat16),        # kvrow (k, v)
             pltpu.VMEM((2, KV_BLK, B, D), jnp.bfloat16),   # krd
@@ -568,9 +607,11 @@ def hashable_layout(layout: dict):
 
 
 def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
-                           cur, *, config, kv_limit, interpret=None):
+                           cur, *, config, kv_limit, act_quant=False,
+                           interpret=None):
     """One decode step through the megakernel. Returns (hidden (b, D) bf16,
-    new kc, new vc). Caches are donated/aliased."""
+    new kc, new vc). Caches are donated/aliased. ``act_quant`` switches the
+    trunk linears to the w8a8 tier (per-row int8 activations, int8 MXU)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     arch = config.lm_arch
@@ -582,4 +623,4 @@ def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
         kc, vc, n_head=arch.n_head, xattn_heads=config.xattn_heads,
         n_visual=config.resampler_num_latents, kv_limit=kv_limit,
         layout_key=hashable_layout(packed["layout"]),
-        act_name=arch.activation, interpret=interpret)
+        act_name=arch.activation, act_quant=act_quant, interpret=interpret)

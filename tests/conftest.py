@@ -9,17 +9,29 @@ Must set env vars before jax is imported anywhere.
 import os
 
 if not os.environ.get("FLAMINGO_TEST_TPU"):
-    # NB: in environments whose sitecustomize pre-imports jax (the axon TPU
-    # kernel image does), these assignments are too late — there, launch
-    # pytest with `JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_
-    # device_count=8` set in the shell instead. Tests that need >= 8 devices
-    # skip gracefully when only the TPU chip is visible.
+    # NB: in environments whose sitecustomize pre-imports jax AND force-
+    # registers a TPU platform (the axon TPU kernel image does — its
+    # register() call overrides JAX_PLATFORMS, so neither shell env nor
+    # os.environ assignments select CPU), the only reliable override is
+    # jax.config.update BEFORE the first backend initialization. XLA_FLAGS
+    # is still read lazily at CPU-client creation, so the env assignment
+    # below works even with jax already imported.
     os.environ.pop("JAX_PLATFORMS", None)
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    # The persistent compilation cache is a TPU deployment feature; inside
+    # the CPU suite it only adds risk — a full-suite process at high RSS
+    # segfaulted inside jax's cache-entry deserialization (cache READ in
+    # compilation_cache.get_executable_and_time), and CPU test compiles are
+    # cheap anyway. Tests that exercise the cache itself (test_compile_cache)
+    # re-enable it explicitly in subprocess children.
+    os.environ.setdefault("FLAMINGO_COMPILE_CACHE", "0")
 
 import sys
 import types

@@ -49,6 +49,12 @@ def main():
                          "headline_scale entry of BENCH_FIDELITY_TRAINED.json"
                          " (VERDICT r3 #4)")
     ap.add_argument("--train-steps", type=int, default=400)
+    ap.add_argument("--w8a8", action="store_true",
+                    help="also measure the megakernel w8a8 tier (per-row "
+                         "int8 activations, int8 MXU dots) vs bf16 AND vs "
+                         "the int8 weight-only headline — isolates the "
+                         "activation-rounding cost; writes BENCH_FIDELITY_"
+                         "W8A8.json")
     args = ap.parse_args()
     if args.trained_smoke:
         args.smoke = True
@@ -102,22 +108,58 @@ def main():
         return cast_params_bf16({**p, "lm": qlm,
                                  "xattn": quantize_xattn_blocks(p["xattn"])})
 
-    def measure(p):
-        """int8-vs-bf16 greedy divergence stats for one param set."""
+    class PairStats:
+        """Caption/token agreement accumulator for one (a, b) system pair."""
+
+        def __init__(self):
+            self.caps = self.toks = self.total = self.n = 0
+            self.first_div = []
+
+        def add(self, a, b):
+            same = a == b
+            self.caps += int(same.all(axis=1).sum())
+            self.toks += int(same.sum())
+            self.total += same.size
+            self.n += a.shape[0]
+            for row in range(a.shape[0]):
+                if not same[row].all():
+                    self.first_div.append(int(np.argmax(~same[row])))
+
+        def report(self):
+            hist_edges = [e for e in (0, 1, 2, 4, 8, 16, 32, 64, 128)
+                          if e < args.decode_tokens] + [args.decode_tokens]
+            hist, _ = np.histogram(self.first_div, bins=hist_edges)
+            return {
+                "captions": self.n,
+                "identical_captions_pct": round(100.0 * self.caps / self.n, 2),
+                "identical_tokens_pct": round(
+                    100.0 * self.toks / self.total, 3),
+                "first_divergence_hist": {
+                    f"[{hist_edges[i]},{hist_edges[i+1]})": int(hist[i])
+                    for i in range(len(hist))},
+            }
+
+    def measure(p, w8a8=False):
+        """int8-vs-bf16 greedy divergence stats for one param set; with
+        ``w8a8`` also the megakernel w8a8 tier vs both."""
+        from dataclasses import replace as _replace
         p_bf16 = cast_params_bf16(p)
         p_int8 = quantize(p)
+        dc_w8a8 = _replace(dc, megakernel=True, w8a8=True)
 
         # NB: _generate_impl is itself jitted (params are a traced
         # ARGUMENT); wrapping it in another jit here would capture the
         # ~700 MB param pytree as closure constants and stall compilation.
-        def run(ps, ids, media, mask, px):
-            out, _, _ = _generate_impl(ps, config, dc, FAST, ids, media,
+        def run(ps, ids, media, mask, px, d=dc):
+            out, _, _ = _generate_impl(ps, config, d, FAST, ids, media,
                                     mask, None, px, jax.random.PRNGKey(0))
             return out
 
         n_batches = (args.captions + args.batch - 1) // args.batch
-        ident_caps = ident_toks = total_toks = 0
-        first_div = []
+        pairs = {"int8_vs_bf16": PairStats()}
+        if w8a8:
+            pairs["w8a8_vs_bf16"] = PairStats()
+            pairs["w8a8_vs_int8"] = PairStats()
         for bi in range(n_batches):
             rs = np.random.RandomState(1000 + bi)
             hi = min(1000, config.lm_arch.vocab_size - 1)
@@ -130,26 +172,16 @@ def main():
                                       arch.image_size), jnp.bfloat16)
             a = np.asarray(run(p_bf16, ids, media, mask, px))[:, prompt_len:]
             b = np.asarray(run(p_int8, ids, media, mask, px))[:, prompt_len:]
-            same = a == b
-            ident_caps += int(same.all(axis=1).sum())
-            ident_toks += int(same.sum())
-            total_toks += same.size
-            for row in range(args.batch):
-                if not same[row].all():
-                    first_div.append(int(np.argmax(~same[row])))
+            pairs["int8_vs_bf16"].add(a, b)
+            if w8a8:
+                c = np.asarray(run(p_int8, ids, media, mask, px,
+                                   d=dc_w8a8))[:, prompt_len:]
+                pairs["w8a8_vs_bf16"].add(c, a)
+                pairs["w8a8_vs_int8"].add(c, b)
 
-        n = n_batches * args.batch
-        hist_edges = [e for e in (0, 1, 2, 4, 8, 16, 32, 64, 128)
-                      if e < args.decode_tokens] + [args.decode_tokens]
-        hist, _ = np.histogram(first_div, bins=hist_edges)
-        return {
-            "captions": n,
-            "identical_captions_pct": round(100.0 * ident_caps / n, 2),
-            "identical_tokens_pct": round(100.0 * ident_toks / total_toks, 3),
-            "first_divergence_hist": {
-                f"[{hist_edges[i]},{hist_edges[i+1]})": int(hist[i])
-                for i in range(len(hist))},
-        }
+        if not w8a8:
+            return pairs["int8_vs_bf16"].report()
+        return {k: v.report() for k, v in pairs.items()}
 
     result = {
         "model": config.lm,
@@ -215,6 +247,20 @@ def main():
         existing["headline_scale"] = result
         with open(path, "w") as f:
             json.dump(existing, f, indent=2)
+        return 0
+    if args.w8a8:
+        if args.smoke:
+            raise SystemExit("--w8a8 needs the headline scale (megakernel "
+                             "requires the 1024-wide GPT-2 trunk)")
+        result["pairs"] = measure(params, w8a8=True)
+        result["weights"] = "random-init (zero egress)"
+        result["note"] = ("w8a8 = megakernel tier with per-row int8 "
+                          "activations on the trunk linears (int8 MXU); "
+                          "w8a8_vs_int8 isolates the activation-rounding "
+                          "cost on top of the int8 weight-only headline")
+        print(json.dumps(result, indent=2))
+        with open(os.path.join(REPO, "BENCH_FIDELITY_W8A8.json"), "w") as f:
+            json.dump(result, f, indent=2)
         return 0
     if not args.trained_smoke:
         result.update(measure(params))
