@@ -56,10 +56,17 @@ def measure(batch):
                      jnp.bfloat16)
     lm = params["lm"]
     vocab = int((lm["wte"] if "wte" in lm else lm["wte_q"]["w8"]).shape[0])
+    use_mega = (os.environ.get("FLAMINGO_BENCH_MEGA",
+                               "0" if SMOKE else "1") == "1"
+                and "wte_q" in lm)
     dc = DecodeConfig(max_length=PROMPT_LEN + DECODE_TOKENS,
                       eos_token_id=vocab + 1, pad_token_id=0,
                       prefix_block=int(os.environ.get(
-                          "FLAMINGO_BENCH_PREFIX_BLOCK", "32")))
+                          "FLAMINGO_BENCH_PREFIX_BLOCK", "32")),
+                      # deployment fast path, same defaults as bench.py
+                      megakernel=use_mega,
+                      w8a8=use_mega
+                      and os.environ.get("FLAMINGO_BENCH_W8A8") == "1")
 
     @jax.jit
     def decode(ps, ids, media, mask, px, seed):

@@ -39,6 +39,27 @@ import types
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A full-suite single process accumulates ~hundreds of XLA:CPU executables;
+    at that point compiling the GSPMD tensor-parallel programs segfaults
+    inside backend_compile_and_load (reproducible at tests/test_tp_serving.py
+    after the full alphabetical prefix, absent when the same tests run solo
+    or after a short prefix — and independent of the persistent compile
+    cache). Clearing jax's caches between modules keeps the live-executable
+    population bounded; per-module recompiles are the (small) price.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
 def _install_einops_exts_shim():
     """The reference imports ``einops_exts`` (not installed); it is a tiny
     wrapper over einops, so provide the two functions it uses."""
