@@ -71,15 +71,24 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
                  (lm.get("wte_q") or lm["embed_tokens_q"])["w8"]).shape[0])
     pb = int(os.environ.get("FLAMINGO_BENCH_PREFIX_BLOCK", "32"))
     int8_kv = os.environ.get("FLAMINGO_BENCH_INT8_KV") == "1"
-    # whole-step megakernel: the r4 deployment fast path wherever it applies
-    # (int8 GPT-2 trunk with n_embd % 128 == 0, single-beam, bf16 KV);
-    # FLAMINGO_BENCH_MEGA=0 for the per-layer-kernel path
+    # whole-step megakernel: the r4 deployment fast path wherever it pays
+    # (int8 GPT-2 trunks, single-beam, bf16 KV). OPT-1.3B bs=8 was measured
+    # SLOWER through it (27.4 vs 36.9 captions/s: xattn_every=2 makes half
+    # the layers stream 40 MB of zero xattn chunks each — +33 % bytes — and
+    # B=8 rows leave the serialized chunk-dots at ~6 % MXU utilization;
+    # w8a8 reads the same 27.0, so it is bytes, not the convert), so OPT
+    # keeps the per-layer flat-kernel path by default;
+    # FLAMINGO_BENCH_MEGA=all forces it, =0 disables everywhere.
     from flamingo_mini_tpu.configuration_flamingo import GPT2Arch
-    use_mega = (os.environ.get("FLAMINGO_BENCH_MEGA", "1") == "1"
+    from flamingo_mini_tpu.ops import pallas_megadecode as _mega
+    mega_env = os.environ.get("FLAMINGO_BENCH_MEGA", "1")
+    use_mega = (mega_env != "0"
                 and num_beams == 1 and not int8_kv
-                and isinstance(config.lm_arch, GPT2Arch)
-                and config.lm_arch.n_embd % 128 == 0
-                and "wte_q" in params["lm"])
+                and _mega.supports_arch(config.lm_arch)
+                and (isinstance(config.lm_arch, GPT2Arch)
+                     or mega_env == "all")
+                and ("wte_q" in params["lm"]
+                     or "embed_tokens_q" in params["lm"]))
     dc = DecodeConfig(max_length=prompt_len + decode_tokens,
                       eos_token_id=vocab + 1, pad_token_id=0,
                       num_beams=num_beams, do_sample=do_sample, top_k=top_k,

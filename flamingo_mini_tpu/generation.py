@@ -550,15 +550,29 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     decode_hook = flamingo.make_layer_hook(
         params, config, xattn_kv, hook_decode_time, policy=policy)
 
+    # Mosaic DMAs slice the batch dim of the (L, NMNV, b, XI) xattn K/V and
+    # the T-major caches on SUBLANES, and bf16 sublane tiling is 2-packed —
+    # an odd batch cannot lower ("Slice shape along dimension 2 must be
+    # aligned to tiling (2)"). Odd batches (bs=1 latency serving) fall back
+    # to the per-layer flat-kernel decode, which handles any batch.
+    use_mega = dc.megakernel and b % 2 == 0
     if dc.megakernel:
         from .models import gpt2 as _gpt2
+        from .models import opt as _opt
         from .ops import pallas_megadecode as mega
-        if not isinstance(config.lm_arch, GPT2Arch):
-            raise ValueError("megakernel supports the GPT-2 trunk only")
+        if not mega.supports_arch(config.lm_arch):
+            raise ValueError(
+                "megakernel supports GPT-2 and pre-norm OPT trunks with "
+                "n_embd % 128 == 0 and Dff % n_embd == 0 only")
         if dc.int8_kv_cache:
             raise ValueError("megakernel needs bf16 KV (int8_kv_cache off)")
+    if dc.megakernel and not use_mega:
+        from dataclasses import replace as _dc_rep
+        dc = _dc_rep(dc, megakernel=False, w8a8=False, flat_kv_cache=True)
+    if dc.megakernel:
         packed = mega.pack_decode_weights(params, config)
-        xkf, xvf = mega.pack_xattn_kv_flat(xattn_kv, config.lm_arch.n_layer)
+        n_layer = mega.trunk_dims(config.lm_arch)[2]
+        xkf, xvf = mega.pack_xattn_kv_flat(xattn_kv, n_layer)
         st["kc"] = jnp.stack([c["kf"] for c in st["cache"]])
         st["vc"] = jnp.stack([c["vf"] for c in st["cache"]])
         st = {k: v for k, v in st.items() if k != "cache"}
@@ -587,20 +601,38 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             if dc.megakernel:
                 lm = params["lm"]
                 arch = config.lm_arch
-                if "wte_q" in lm:
-                    from .ops.quant import embed_lookup
-                    emb = embed_lookup(lm["wte_q"], tok[:, None], policy.dtype)
-                else:
-                    emb = lm["wte"].astype(policy.dtype)[tok[:, None]]
-                x = (emb + lm["wpe"].astype(policy.dtype)[st["pos_next"]])[:, 0]
+                from .ops.layers import layer_norm as _ln
+                from .ops.quant import embed_lookup
+                if isinstance(arch, GPT2Arch):
+                    if "wte_q" in lm:
+                        emb = embed_lookup(lm["wte_q"], tok[:, None],
+                                           policy.dtype)
+                    else:
+                        emb = lm["wte"].astype(policy.dtype)[tok[:, None]]
+                    x = (emb
+                         + lm["wpe"].astype(policy.dtype)[st["pos_next"]])[:, 0]
+                else:  # pre-norm OPT (gated by mega.supports_arch)
+                    if "embed_tokens_q" in lm:
+                        emb = embed_lookup(lm["embed_tokens_q"], tok[:, None],
+                                           policy.dtype)
+                    else:
+                        emb = lm["embed_tokens"].astype(
+                            policy.dtype)[tok[:, None]]
+                    pos = lm["embed_positions"].astype(
+                        policy.dtype)[st["pos_next"] + _opt.POS_OFFSET]
+                    x = (emb + pos)[:, 0]
                 hidden, kc, vc = mega.decode_step_megakernel(
                     packed, xkf, xvf, st["kc"], st["vc"], x, npad0,
                     st["media_count"], cur, config=config, kv_limit=kv_limit,
                     act_quant=dc.w8a8)
-                from .ops.layers import layer_norm as _ln
-                h = _ln(hidden[:, None, :], lm["ln_f"],
-                        arch.layer_norm_epsilon)
-                logits = _gpt2.lm_head(lm, h, policy)
+                if isinstance(arch, GPT2Arch):
+                    h = _ln(hidden[:, None, :], lm["ln_f"],
+                            arch.layer_norm_epsilon)
+                    logits = _gpt2.lm_head(lm, h, policy)
+                else:
+                    h = _ln(hidden[:, None, :], lm["final_ln"],
+                            arch.layer_norm_epsilon)
+                    logits = _opt.lm_head(lm, h, policy)
                 st = {**st, "kc": kc, "vc": vc,
                       "pos_next": st["pos_next"] + 1}
             else:

@@ -38,7 +38,11 @@ Numerics mirror the XLA decode path op-for-op (linear: int8 -> bf16 cast,
 bf16 matmul, f32 accumulate, f32 per-channel scale, +bias in bf16, cast
 bf16; LN stats in f32; residual adds in bf16; attention exactly as
 ops/pallas_decode's grouped cross-batch form) so greedy tokens match the
-non-mega engine.
+non-mega engine — bitwise on most inputs; the irreducible delta is f32
+accumulation ASSOCIATION in the row-chunked mms (fc2/xf2 sum n_embd-wide
+partial dots because weights stream chunk-by-chunk, XLA's single K-wide
+dot associates differently): +-1-2 bf16 ulp on ~0.03 % of elements
+(measured; see BENCH.md megakernel notes and the OPT one-step test).
 """
 from __future__ import annotations
 
@@ -52,7 +56,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = float(jnp.finfo(jnp.float32).min)
-KV_BLK = 8         # cache-read chunk rows (16 puts the VMEM stack 512 B over)
+
+
+def _kv_blk(D: int) -> int:
+    """Cache-read chunk rows (16 put the VMEM stack 512 B over at the
+    flamingo-mini shape)."""
+    return 8
 
 
 # ---------------------------------------------------------------------------
@@ -88,22 +97,50 @@ def _small_layout(D: int, Dff: int, n_chunks: int):
     return soffs, ((so + 127) // 128) * 128
 
 
+def trunk_dims(arch) -> Tuple[int, int, int, int]:
+    """(D, Dff, n_layer, n_head) for a GPT-2 or (pre-norm) OPT trunk."""
+    if hasattr(arch, "n_embd"):          # GPT2Arch
+        return arch.n_embd, 4 * arch.n_embd, arch.n_layer, arch.n_head
+    return (arch.hidden_size, arch.ffn_dim, arch.num_hidden_layers,
+            arch.num_attention_heads)
+
+
+def supports_arch(arch) -> bool:
+    """Megakernel trunk support: GPT-2, or pre-norm OPT without the
+    opt-350m project_in/out (word_embed_proj_dim == hidden_size)."""
+    if hasattr(arch, "n_embd"):
+        D, Dff = arch.n_embd, 4 * arch.n_embd
+    else:
+        if not (arch.do_layer_norm_before
+                and arch.word_embed_proj_dim == arch.hidden_size):
+            return False
+        D, Dff = arch.hidden_size, arch.ffn_dim
+    return D % 128 == 0 and Dff % D == 0
+
+
 def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
     """Stack quantized LM + xattn weights into the megakernel layout.
 
     Pure functional jnp ops (pad/stack/concat), so it traces inside the
     jitted generate program: the packing runs once per CALL on device
     (~ms for 0.5 GB of copies), not per decode step.
+
+    Trunks: GPT-2 (fused c_attn) and pre-norm OPT (separate q/k/v
+    projections — packed as the three "qkv" column chunks, biases
+    concatenated; attn_ln -> ln1, final_ln -> ln2, out_proj -> o,
+    fc1 -> fc, fc2 -> pr; ReLU rides the act param). The kernel body is
+    identical for both: pre-norm attn + pre-norm MLP with residuals.
     """
     lm = params["lm"]
     arch = config.lm_arch
-    D, Dff = arch.n_embd, 4 * arch.n_embd
+    D, Dff, L, _H = trunk_dims(arch)
     CW = D
     XI = config.xattn_dim_head * config.xattn_heads
-    assert D % 128 == 0, \
-        f"megakernel needs n_embd to fill whole 128-lane tiles, got {D}"
+    assert supports_arch(arch), \
+        f"megakernel does not support this trunk geometry: {arch}"
     assert XI <= CW and Dff % CW == 0
-    L = arch.n_layer
+    assert abs(arch.layer_norm_epsilon - 1e-5) < 1e-12, \
+        "kernel LN hardcodes eps=1e-5"
     offs, n_chunks = _sched(D, Dff)
     soffs, SMALL = _small_layout(D, Dff, n_chunks)
 
@@ -133,10 +170,35 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
     zero_scale = jnp.zeros((CW,), jnp.float32)
     zvec = lambda n: jnp.zeros((n,), jnp.float32)
 
+    is_gpt2 = "blocks" in lm
     layer_w, layer_s = [], []
     for l in range(L):
-        bp = lm["blocks"][l]
-        assert "w8" in bp["c_attn"], "megakernel needs int8-quantized weights"
+        if is_gpt2:
+            bp = lm["blocks"][l]
+            assert "w8" in bp["c_attn"], \
+                "megakernel needs int8-quantized weights"
+            trunk_parts = ((bp["c_attn"], 3 * D // CW, "c"),
+                           (bp["c_proj"], 1, "c"),
+                           (bp["mlp_fc"], Dff // CW, "c"),
+                           (bp["mlp_proj"], Dff // CW, "r"))
+            ln1, ln2 = bp["ln_1"], bp["ln_2"]
+            b_qkv = bp["c_attn"]["b"]
+            b_o, b_fc, b_pr = (bp["c_proj"]["b"], bp["mlp_fc"]["b"],
+                               bp["mlp_proj"]["b"])
+        else:
+            bp = lm["layers"][l]
+            assert "w8" in bp["q_proj"], \
+                "megakernel needs int8-quantized weights"
+            trunk_parts = ((bp["q_proj"], 1, "c"), (bp["k_proj"], 1, "c"),
+                           (bp["v_proj"], 1, "c"), (bp["out_proj"], 1, "c"),
+                           (bp["fc1"], Dff // CW, "c"),
+                           (bp["fc2"], Dff // CW, "r"))
+            ln1, ln2 = bp["attn_ln"], bp["final_ln"]
+            b_qkv = jnp.concatenate([
+                jnp.asarray(bp[k]["b"], jnp.float32).reshape(-1)
+                for k in ("q_proj", "k_proj", "v_proj")])
+            b_o, b_fc, b_pr = (bp["out_proj"]["b"], bp["fc1"]["b"],
+                               bp["fc2"]["b"])
         key = str(l)
         wlist, slist = [], []
         if key in params["xattn"]:
@@ -162,21 +224,18 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
             slist += [zero_scale] * n_x
             xn_s = xn_b = xfn_s = xfn_b = zvec(D)
             gates = zvec(128)
-        for p, n, kind in ((bp["c_attn"], 3 * D // CW, "c"),
-                           (bp["c_proj"], 1, "c"),
-                           (bp["mlp_fc"], Dff // CW, "c"),
-                           (bp["mlp_proj"], Dff // CW, "r")):
+        for p, n, kind in trunk_parts:
             ws, ss = (chunks_cols if kind == "c" else chunks_rows)(p, n)
             wlist += ws
             slist += ss
         assert len(wlist) == n_chunks, (len(wlist), n_chunks)
         # small row: fields concatenated in _small_layout order
         row = jnp.concatenate([
-            pad1(bp["ln_1"]["scale"], D), pad1(bp["ln_1"]["bias"], D),
-            pad1(bp["ln_2"]["scale"], D), pad1(bp["ln_2"]["bias"], D),
+            pad1(ln1["scale"], D), pad1(ln1["bias"], D),
+            pad1(ln2["scale"], D), pad1(ln2["bias"], D),
             pad1(xn_s, D), pad1(xn_b, D), pad1(xfn_s, D), pad1(xfn_b, D),
-            pad1(bp["c_attn"]["b"], 3 * D), pad1(bp["c_proj"]["b"], D),
-            pad1(bp["mlp_fc"]["b"], Dff), pad1(bp["mlp_proj"]["b"], D),
+            pad1(b_qkv, 3 * D), pad1(b_o, D),
+            pad1(b_fc, Dff), pad1(b_pr, D),
             gates, jnp.concatenate(slist)])
         row = jnp.pad(row, (0, SMALL - row.shape[0]))
         layer_w.append(jnp.stack(wlist))
@@ -285,7 +344,7 @@ def _grouped_attention(q_bf, stream_k, stream_v, n_chunks, chunk_rows,
 
 
 def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
-                  B, T, NMNV, act, act_quant=False):
+                  B, T, NMNV, act, xact, act_quant=False):
     NC = layout["n_chunks"]
     D = layout["D"]
     CW = D                      # chunk width == n_embd (see packing notes)
@@ -295,6 +354,7 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
     woffs = layout["offs"]
     dh = D // n_head
     xdh = XI // xattn_heads
+    KV_BLK = _kv_blk(D)
     n_kv_chunks = -(-kv_limit // KV_BLK)
 
     def kernel(cur_ref, gates_ref, npad_ref, tt_ref, x_ref,
@@ -366,6 +426,28 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                           lax.RoundingMethod.TO_NEAREST_EVEN)
             return q.astype(jnp.int32).astype(jnp.int8), s
 
+        def wdot_bf16(x_bf, wc8):
+            # (B, CW) f32 = x_bf (B, CW) . convert(wc8 (CW, CW) int8).
+            # The whole-chunk int8 -> bf16 convert is the kernel's largest
+            # SSA temporary (a (2048, 2048) bf16 value is 8 MB — it alone
+            # blew Mosaic's 16 MB scoped-VMEM stack at OPT-1.3B width), so
+            # wide chunks convert-and-dot in K-row strips with an f32
+            # accumulator. D <= 1024 keeps the single dot (the measured
+            # headline configuration).
+            if CW <= 1024:
+                return lax.dot_general(x_bf, wc8.astype(jnp.bfloat16),
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            RS = 512
+            acc = jnp.zeros((B, CW), jnp.float32)
+            for r0 in range(0, CW, RS):
+                acc = acc + lax.dot_general(
+                    x_bf[:, r0:r0 + RS],
+                    wc8[r0:r0 + RS].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return acc
+
         def mm_cols(x_bf, name, n, bias_name=None, bias_width=None):
             outs = []
             base = woffs[name]
@@ -379,10 +461,7 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                                         preferred_element_type=jnp.int32)
                     y = y.astype(jnp.float32) * xs * wscale(base + c)
                 else:
-                    wc = wc8.astype(jnp.bfloat16)
-                    y = lax.dot_general(x_bf, wc, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                    y = y * wscale(base + c)
+                    y = wdot_bf16(x_bf, wc8) * wscale(base + c)
                 y = y.astype(jnp.bfloat16)
                 if bias_name is not None:
                     bw = bias_width if bias_width is not None else n * CW
@@ -404,10 +483,7 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                                         preferred_element_type=jnp.int32)
                     acc = acc + p.astype(jnp.float32) * hsr
                 else:
-                    wc = wc8.astype(jnp.bfloat16)
-                    acc = acc + lax.dot_general(h_list[r], wc,
-                                                (((1,), (0,)), ((), ())),
-                                                preferred_element_type=jnp.float32)
+                    acc = acc + wdot_bf16(h_list[r], wc8)
             y = (acc * wscale(base)).astype(jnp.bfloat16)
             if bias_name is not None:
                 y = y + sget(bias_name, CW).astype(jnp.bfloat16)
@@ -455,10 +531,13 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
         # path's bf16 x bf16 multiply
         g_attn = gates_ref[l, 0]                               # SMEM scalar
         x = x + (g_attn * xo.astype(jnp.float32)).astype(jnp.bfloat16)
-        # gated FFW: LN -> fc1 -> act -> fc2 (ops.layers.feed_forward)
+        # gated FFW: LN -> fc1 -> xattn_act -> fc2 (ops.layers.feed_forward;
+        # NB the xattn FFW act is config.xattn_act, NOT the trunk's — OPT's
+        # relu trunk exposed the difference, and gelu vs gelu_new matters
+        # for GPT-2 bitwise parity too)
         h = ln(x, "xfn_s", "xfn_b")
         hs = mm_cols(h, "xf1", Dff // CW)
-        hs = [act(p) for p in hs]
+        hs = [xact(p) for p in hs]
         xf = mm_rows(hs, "xf2", Dff // CW)
         g_ffw = gates_ref[l, 1]                                # SMEM scalar
         x = x + (g_ffw * xf.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -530,10 +609,10 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "xattn_heads", "n_visual", "kv_limit", "layout_key", "act_name",
-    "act_quant", "interpret"))
+    "xact_name", "act_quant", "interpret"))
 def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
                n_head, xattn_heads, n_visual, kv_limit, layout_key, act_name,
-               act_quant, interpret):
+               xact_name, act_quant, interpret):
     layout = dict(layout_key)
     layout["offs"] = dict(layout["offs"])
     layout["soffs"] = dict(layout["soffs"])
@@ -542,11 +621,36 @@ def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
     SMALL = layout["SMALL"]
     NC = layout["n_chunks"]
     from . import layers as _layers
-    act = _layers.get_activation(act_name)
+
+    def _gelu_erf_mosaic(x):
+        # Exact-erf GELU via the Abramowitz-Stegun 7.1.26 rational erf
+        # approximation (|err| <= 1.5e-7 ~ 1/10^4 of a bf16 ulp at |x|~1):
+        # Mosaic has no erf/erfc primitive (KernelType.TC NotImplemented),
+        # and XLA's own TPU erf is a polynomial of the same class. Used in
+        # interpret mode too, so CPU tests validate exactly what TPU runs.
+        x32 = x.astype(jnp.float32)
+        z = x32 * (2.0 ** -0.5)
+        s = jnp.sign(z)
+        a = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * a)
+        poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                    + t * (-1.453152027 + t * 1.061405429))))
+        erf = s * (1.0 - poly * jnp.exp(-a * a))
+        return (0.5 * x32 * (1.0 + erf)).astype(x.dtype)
+
+    def _kernel_act(name):
+        if name in ("gelu", "gelu_erf"):
+            return _gelu_erf_mosaic
+        return _layers.get_activation(name)
+
+    act = _kernel_act(act_name)
+    xact = _kernel_act(xact_name)
 
     kern = _build_kernel(n_head=n_head, xattn_heads=xattn_heads,
                          n_visual=n_visual, kv_limit=kv_limit, layout=layout,
-                         B=B, T=T, NMNV=NMNV, act=act, act_quant=act_quant)
+                         B=B, T=T, NMNV=NMNV, act=act, xact=xact,
+                         act_quant=act_quant)
+    KV_BLK = _kv_blk(D)
     npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (B, 128))
     tt_v = jnp.broadcast_to(text_time.astype(jnp.int32).reshape(B)[:, None],
                             (B, 128))
@@ -615,12 +719,14 @@ def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     arch = config.lm_arch
+    _D, _Dff, _L, n_head = trunk_dims(arch)
     kv_limit = min(kv_limit if kv_limit is not None else kc.shape[1],
                    kc.shape[1])
     return _mega_call(
         cur, packed["gates"], npad, text_time, x_emb, packed["w8"],
         packed["small"], xk, xv,
-        kc, vc, n_head=arch.n_head, xattn_heads=config.xattn_heads,
+        kc, vc, n_head=n_head, xattn_heads=config.xattn_heads,
         n_visual=config.resampler_num_latents, kv_limit=kv_limit,
         layout_key=hashable_layout(packed["layout"]),
-        act_name=arch.activation, act_quant=act_quant, interpret=interpret)
+        act_name=arch.activation, xact_name=config.xattn_act,
+        act_quant=act_quant, interpret=interpret)
