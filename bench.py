@@ -110,7 +110,12 @@ def bench_ours() -> float:
                       # MXU dots): opt-in — it changes the numerics from
                       # weight-only to weight+activation quantization
                       # (fidelity measured in BENCH.md)
-                      w8a8=os.environ.get("FLAMINGO_BENCH_W8A8") == "1")
+                      w8a8=os.environ.get("FLAMINGO_BENCH_W8A8") == "1",
+                      # fused int8 lm_head + greedy argmax Pallas kernel
+                      # (ops/pallas_lmhead; bitwise-equal tokens) — on by
+                      # default; FLAMINGO_BENCH_FUSED_HEAD=0 for the XLA head
+                      fused_head=os.environ.get(
+                          "FLAMINGO_BENCH_FUSED_HEAD", "1") == "1")
 
     # Methodology (see BENCH.md): remote-attached devices (this sandbox's TPU
     # tunnel) ship input buffers per call and cache same-buffer repeats, so

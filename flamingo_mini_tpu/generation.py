@@ -99,6 +99,12 @@ class DecodeConfig:
     # the live cache prefix (rounded up to the block) instead of max_length.
     int8_kv_cache: bool = False
     prefix_block: int = 0
+    # Fused int8 lm_head + greedy argmax Pallas kernel (ops/pallas_lmhead):
+    # auto-engages on plain-greedy int8 decode paths (identity processor
+    # chain, no scores). Token-exact at the measured deployment shapes
+    # (+-1 bf16 ulp matmul-association envelope elsewhere — see the kernel
+    # module docstring); False forces the XLA lm_head + argmax.
+    fused_head: bool = True
     # Flat (b, max_len, d_model) KV cache + Pallas streaming decode attention
     # (ops/pallas_decode.py): the head layout's 64-wide minor dim is
     # physically ~1.6x padded in HBM and the XLA decode fusion streams it at
@@ -509,6 +515,18 @@ def process_logits(logits, dc: DecodeConfig, tokens, mask, idx,
     return logits
 
 
+def _logits_chain_is_identity(dc: DecodeConfig) -> bool:
+    """True when process_logits is a no-op for every decode step (all static
+    processor knobs at their HF defaults) — the plain-greedy fast path."""
+    return (not dc.sequence_bias and dc.repetition_penalty == 1.0
+            and dc.no_repeat_ngram_size == 0 and not dc.bad_words_ids
+            and dc.min_length == 0 and dc.min_new_tokens == 0
+            and dc.forced_bos_token_id is None
+            and dc.forced_eos_token_id is None
+            and dc.exponential_decay_length_penalty is None
+            and not dc.suppress_tokens and not dc.begin_suppress_tokens)
+
+
 def _select_token(logits, dc: DecodeConfig, key):
     """Greedy or top-k/top-p/temperature sampling over (b, V) logits.
 
@@ -577,6 +595,28 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
         st["vc"] = jnp.stack([c["vf"] for c in st["cache"]])
         st = {k: v for k, v in st.items() if k != "cache"}
         npad0 = jnp.argmax(st["mask"], axis=-1).astype(jnp.int32)
+    # Fused int8 lm_head + greedy argmax (ops/pallas_lmhead): on the
+    # plain-greedy path the (B, V) logits are never observed, so the tied
+    # head streams its int8 vocab rows through a Pallas kernel and returns
+    # the token directly (bitwise-equal argmax semantics; module docstring).
+    # Engages on the megakernel AND the per-layer flat-cache decode —
+    # dc.flat_kv_cache=True implies no GSPMD mesh (generate() clears it for
+    # TP serving; the DP shard_map path runs this whole program per device).
+    # Padding the vocab rows to the chunk grid happens once, outside the
+    # loop.
+    head_fused = None
+    if (dc.fused_head and (dc.megakernel or dc.flat_kv_cache)
+            and not dc.int8_kv_cache
+            and not dc.do_sample and not dc.return_scores
+            and _logits_chain_is_identity(dc)):
+        _hk = ("wte_q" if isinstance(config.lm_arch, GPT2Arch)
+               else "embed_tokens_q")
+        _hq = params["lm"].get(_hk)
+        if _hq is not None:
+            from .ops.pallas_lmhead import lm_head_argmax, pad_head_weights
+            head_nvalid = min(int(_hq["w8"].shape[0]),
+                              config.lm_arch.vocab_size + 1)
+            head_fused = pad_head_weights(_hq, 2048)
 
     next_logits = process_logits(next_logits, dc, st["tokens"], st["mask"],
                                  jnp.asarray(L, jnp.int32), L)
@@ -628,29 +668,50 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
                 if isinstance(arch, GPT2Arch):
                     h = _ln(hidden[:, None, :], lm["ln_f"],
                             arch.layer_norm_epsilon)
-                    logits = _gpt2.lm_head(lm, h, policy)
                 else:
                     h = _ln(hidden[:, None, :], lm["final_ln"],
                             arch.layer_norm_epsilon)
+                if head_fused is not None:
+                    logits = None   # never materialized — argmax in-kernel
+                    hrow = h[:, 0]
+                elif isinstance(arch, GPT2Arch):
+                    logits = _gpt2.lm_head(lm, h, policy)
+                else:
                     logits = _opt.lm_head(lm, h, policy)
                 st = {**st, "kc": kc, "vc": vc,
                       "pos_next": st["pos_next"] + 1}
             else:
-                logits, cache = flamingo.apply_lm(
-                    params, config, tok[:, None], policy=policy,
-                    layer_hook=decode_hook, attention_mask=st["mask"],
-                    position_ids=st["pos_next"],
-                    cache=st["cache"], cache_index=cur, kv_limit=kv_limit)
+                if head_fused is not None:
+                    logits, cache, hid = flamingo.apply_lm(
+                        params, config, tok[:, None], policy=policy,
+                        layer_hook=decode_hook, attention_mask=st["mask"],
+                        position_ids=st["pos_next"],
+                        cache=st["cache"], cache_index=cur, kv_limit=kv_limit,
+                        with_hidden=True, skip_head=True)
+                    hrow = hid[:, -1]
+                else:
+                    logits, cache = flamingo.apply_lm(
+                        params, config, tok[:, None], policy=policy,
+                        layer_hook=decode_hook, attention_mask=st["mask"],
+                        position_ids=st["pos_next"],
+                        cache=st["cache"], cache_index=cur, kv_limit=kv_limit)
                 st = {**st, "cache": cache, "pos_next": st["pos_next"] + 1}
             # this step fills position cur+1; sequence-so-far length == cur+1
-            step_logits = process_logits(logits[:, -1], dc, st["tokens"],
-                                         st["mask"], cur + 1, L)
-            # key derived from the absolute position being filled (cur+1) —
-            # the prefill pick used fold_in(rng, L) and the loop enters at
-            # cur == L, so fold_in(rng, cur) would reuse that key for the
-            # second token
-            nxt, lp = _select_token(step_logits, dc,
-                                    jax.random.fold_in(rng, cur + 1))
+            if head_fused is not None:
+                # plain-greedy fast path: argmax in-kernel over the streamed
+                # int8 vocab rows (identity processor chain, no scores)
+                nxt = lm_head_argmax(head_fused["w8"], head_fused["scale"],
+                                     hrow, n_valid=head_nvalid)
+                lp = None
+            else:
+                step_logits = process_logits(logits[:, -1], dc, st["tokens"],
+                                             st["mask"], cur + 1, L)
+                # key derived from the absolute position being filled (cur+1)
+                # — the prefill pick used fold_in(rng, L) and the loop enters
+                # at cur == L, so fold_in(rng, cur) would reuse that key for
+                # the second token
+                nxt, lp = _select_token(step_logits, dc,
+                                        jax.random.fold_in(rng, cur + 1))
             if dc.return_scores:
                 # rows already finished emit pads and stop accumulating
                 scores = scores + jnp.where(finished, 0.0, lp)

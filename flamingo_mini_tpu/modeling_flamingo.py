@@ -340,6 +340,7 @@ class FlamingoModel:
         flat_kv_cache: bool = True,
         megakernel: bool = False,
         w8a8: bool = False,
+        fused_head: bool = True,
         return_scores: bool = False,
     ) -> jnp.ndarray:
         """Generate token ids (b, max_length). With ``return_scores=True``
@@ -399,7 +400,8 @@ class FlamingoModel:
                       float(exponential_decay_length_penalty[1]))),
             int8_kv_cache=int8_kv_cache, prefix_block=prefix_block,
             beam_reorder=beam_reorder, flat_kv_cache=flat_kv_cache,
-            megakernel=megakernel, w8a8=w8a8, return_scores=return_scores)
+            megakernel=megakernel, w8a8=w8a8, fused_head=fused_head,
+            return_scores=return_scores)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy, dc=dc,

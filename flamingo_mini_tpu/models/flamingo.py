@@ -209,10 +209,13 @@ def apply_lm(
     context_axis: str = "data",
     beam_anc=None,
     with_hidden: bool = False,
+    skip_head: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
     """Run the LM trunk + tied head. Returns (logits, new_cache), or
     (logits, new_cache, hidden) when ``with_hidden`` — the final-LN trunk
     output (HF ``hidden_states[-1]``; contrastive search's penalty space).
+    ``skip_head=True`` (with ``with_hidden``) leaves logits as None — the
+    caller fuses the head itself (ops/pallas_lmhead's greedy fast path).
 
     ``kv_limit`` (static int): attend only the first kv_limit cache slots —
     the live-prefix decode optimization (cache writes still land in the full
@@ -232,8 +235,8 @@ def apply_lm(
             dropout_rng=dropout_rng, kv_limit=kv_limit,
             ring_mesh=context_mesh, ring_axis=context_axis,
             beam_anc=beam_anc)
-        logits = gpt2.lm_head(params["lm"], hidden, policy,
-                              n_valid=lm_arch.vocab_size + 1)
+        logits = None if skip_head else gpt2.lm_head(
+            params["lm"], hidden, policy, n_valid=lm_arch.vocab_size + 1)
     else:
         hidden, new_cache = opt.apply_opt(
             params["lm"], input_ids, arch=lm_arch, policy=policy,
@@ -242,8 +245,8 @@ def apply_lm(
             dropout_rng=dropout_rng, kv_limit=kv_limit,
             ring_mesh=context_mesh, ring_axis=context_axis,
             beam_anc=beam_anc)
-        logits = opt.lm_head(params["lm"], hidden, policy,
-                             n_valid=lm_arch.vocab_size + 1)
+        logits = None if skip_head else opt.lm_head(
+            params["lm"], hidden, policy, n_valid=lm_arch.vocab_size + 1)
     if with_hidden:
         return logits, new_cache, hidden
     return logits, new_cache
