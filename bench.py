@@ -137,7 +137,7 @@ def bench_ours() -> float:
 
     def run(d, ps, ids, media, mask, px, seed):
         px = px + seed.astype(px.dtype) * 1e-3
-        out, _, _ = _generate_impl(ps, config, d, FAST, ids, media, mask,
+        out, _, _, _ = _generate_impl(ps, config, d, FAST, ids, media, mask,
                                 None, px, jax.random.PRNGKey(0))
         return out
 

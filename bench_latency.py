@@ -71,7 +71,7 @@ def measure(batch):
     @jax.jit
     def decode(ps, ids, media, mask, px, seed):
         px = px + seed.astype(px.dtype) * 1e-3
-        out, _, _ = _generate_impl(ps, config, dc, FAST, ids, media, mask,
+        out, _, _, _ = _generate_impl(ps, config, dc, FAST, ids, media, mask,
                                 None, px, jax.random.PRNGKey(0))
         return out
 

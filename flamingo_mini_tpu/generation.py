@@ -132,6 +132,15 @@ class DecodeConfig:
     # summed over generated tokens (EOS included, post-EOS pads excluded);
     # beam returns HF sequences_scores (length-penalized pool scores).
     return_scores: bool = False
+    # Per-step transition-score arrays (HF output_scores surface, r5): a
+    # (b, max_length) f32 buffer holding each generated token's log-prob
+    # under the step distribution at its absolute position (prompt slots and
+    # post-EOS pads are 0.0) — elementwise what HF
+    # compute_transition_scores(normalize_logits=True) reports per step
+    # (the reference reaches it via HF generate(output_scores=True),
+    # /root/reference/flamingo_mini/modeling_flamingo.py:464-548).
+    # Greedy/sample only; beams keep the summed sequences_scores surface.
+    output_scores: bool = False
     # Beam-search cache reorder strategy. "gather" physically permutes the KV
     # cache by parent index every step (full-cache HBM read+write);
     # "lazy" (ancestor-indexed) leaves cache rows in place and carries a tiny
@@ -149,6 +158,13 @@ class DecodeConfig:
                 f"max_new_tokens must be >= 1, got {self.max_new_tokens}")
         if self.max_length < 2:
             raise ValueError(f"max_length must be >= 2, got {self.max_length}")
+        if self.output_scores and (self.num_beams > 1
+                                   or self.penalty_alpha > 0.0
+                                   or self.force_words_ids is not None):
+            raise ValueError(
+                "output_scores (per-step arrays) is greedy/sample only; "
+                "beam variants return the summed sequences_scores surface "
+                "(return_scores=True)")
         if self.num_beam_groups > 1:
             if self.num_beams % self.num_beam_groups != 0:
                 raise ValueError(
@@ -543,7 +559,7 @@ def _select_token(logits, dc: DecodeConfig, key):
         tok = jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
     else:
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if not dc.return_scores:
+    if not (dc.return_scores or dc.output_scores):
         return tok, None
     lp = jax.nn.log_softmax(logits, axis=-1)
     return tok, jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
@@ -605,9 +621,16 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     # Padding the vocab rows to the chunk grid happens once, outside the
     # loop.
     head_fused = None
+    # policy gate (advisor r4): the kernel computes its dot in bf16
+    # (pallas_lmhead.py casts the hidden row), so under a non-bf16 compute
+    # policy it would diverge from the policy-dtype XLA head by more than
+    # the documented ±1-ulp bf16 envelope — engage only when the policy is
+    # already bf16.
     if (dc.fused_head and (dc.megakernel or dc.flat_kv_cache)
             and not dc.int8_kv_cache
             and not dc.do_sample and not dc.return_scores
+            and not dc.output_scores
+            and policy.dtype == jnp.bfloat16
             and _logits_chain_is_identity(dc)):
         _hk = ("wte_q" if isinstance(config.lm_arch, GPT2Arch)
                else "embed_tokens_q")
@@ -624,6 +647,13 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
                                         jax.random.fold_in(rng, L))
     finished0 = first_tok == dc.eos_token_id
     scores0 = first_lp if dc.return_scores else jnp.zeros((b,), jnp.float32)
+    # per-step transition log-probs at absolute positions (output_scores);
+    # a (b, 1) placeholder keeps the carry structure static when disabled
+    if dc.output_scores:
+        step_lps0 = jnp.zeros((b, dc.max_length), jnp.float32)
+        step_lps0 = step_lps0.at[:, L].set(first_lp)
+    else:
+        step_lps0 = jnp.zeros((b, 1), jnp.float32)
 
     def write(st, tok, idx, finished):
         tokens = st["tokens"].at[:, idx].set(jnp.where(
@@ -637,7 +667,7 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
 
     def make_body(kv_limit):
         def body(carry):
-            st, cur, finished, tok, rng, scores = carry
+            st, cur, finished, tok, rng, scores, step_lps = carry
             if dc.megakernel:
                 lm = params["lm"]
                 arch = config.lm_arch
@@ -715,9 +745,12 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             if dc.return_scores:
                 # rows already finished emit pads and stop accumulating
                 scores = scores + jnp.where(finished, 0.0, lp)
+            if dc.output_scores:
+                step_lps = step_lps.at[:, cur + 1].set(
+                    jnp.where(finished, 0.0, lp))
             new_finished = finished | (nxt == dc.eos_token_id)
             st = write(st, nxt, cur + 1, finished)
-            return st, cur + 1, new_finished, nxt, rng, scores
+            return st, cur + 1, new_finished, nxt, rng, scores, step_lps
         return body
 
     # effective stop position: HF max_new_tokens bounds the generated count
@@ -733,7 +766,7 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
     # ~2.4 ms/step -> ~0; see BENCH.md ablation notes.)
     carry_rng = rng if dc.do_sample else jax.random.PRNGKey(0)
     carry = (st, jnp.asarray(L, jnp.int32), finished0, first_tok, carry_rng,
-             scores0)
+             scores0, step_lps0)
     if dc.prefix_block > 0:
         # Live-prefix segmented decode: steps with cur < seg_end only need
         # cache slots [0, seg_end), so each segment's attention statically
@@ -745,17 +778,18 @@ def _generate_impl(params, config: FlamingoConfig, dc: DecodeConfig,
             + [M - 1]))
         for seg_end in seg_ends:
             def cond_seg(carry, _end=seg_end):
-                _st, cur, finished, _tok, _rng, _sc = carry
+                cur, finished = carry[1], carry[2]
                 return (cur < _end) & ~jnp.all(finished)
             carry = lax.while_loop(
                 cond_seg, make_body(min(seg_end, dc.max_length)), carry)
     else:
         def cond(carry):
-            _st, cur, finished, _tok, _rng, _sc = carry
+            cur, finished = carry[1], carry[2]
             return (cur < M - 1) & ~jnp.all(finished)
         carry = lax.while_loop(cond, make_body(None), carry)
-    st, cur, finished, _, _, scores = carry
-    return st["tokens"], cur + 1, scores
+    st, cur, finished = carry[0], carry[1], carry[2]
+    scores, step_lps = carry[5], carry[6]
+    return st["tokens"], cur + 1, scores, step_lps
 
 
 def generate(
@@ -919,14 +953,18 @@ def generate(
         # just picks one shard's value (check_rep=False).
         fn = shard_map(_dp_fn, mesh=mesh,
                        in_specs=(P(), P()) + (P(dname),) * len(names),
-                       out_specs=(P(dname), P(), P(dname)),
+                       out_specs=(P(dname), P(), P(dname), P(dname)),
                        check_rep=False)
-        tokens, _n, scores = jax.jit(fn)(params, rng, *arrs.values())
+        tokens, _n, scores, step_lps = jax.jit(fn)(params, rng,
+                                                   *arrs.values())
     else:
-        tokens, _n, scores = _generate_impl(params, config, dc, policy,
-                                            input_ids, media_locations,
-                                            attention_mask, visual_features,
-                                            pixel_values, rng)
+        tokens, _n, scores, step_lps = _generate_impl(
+            params, config, dc, policy, input_ids, media_locations,
+            attention_mask, visual_features, pixel_values, rng)
+    if dc.return_scores and dc.output_scores:
+        return tokens, scores, step_lps
+    if dc.output_scores:
+        return tokens, step_lps
     if dc.return_scores:
         return tokens, scores
     return tokens

@@ -342,6 +342,7 @@ class FlamingoModel:
         w8a8: bool = False,
         fused_head: bool = True,
         return_scores: bool = False,
+        output_scores: bool = False,
     ) -> jnp.ndarray:
         """Generate token ids (b, max_length). With ``return_scores=True``
         returns ``(sequences, sequences_scores)``: beam search yields HF's
@@ -349,7 +350,24 @@ class FlamingoModel:
         chosen-token log-probs under the per-step processed (and, when
         sampling, warped) distribution — HF
         ``compute_transition_scores(normalize_logits=True)`` summed over
-        generated tokens (EOS included, post-EOS pads excluded)."""
+        generated tokens (EOS included, post-EOS pads excluded).
+
+        With ``output_scores=True`` (greedy/sample only) a per-step
+        (b, max_length) f32 array is ALSO returned — each generated token's
+        transition log-prob at its absolute sequence position, elementwise
+        what HF ``compute_transition_scores(normalize_logits=True)`` reports
+        per step (prompt slots and post-EOS pads hold 0.0). Combined
+        ``return_scores=True, output_scores=True`` returns
+        ``(sequences, sequences_scores, step_scores)``.
+
+        ``fused_head=True`` (the default) routes the plain-greedy int8 path
+        through the fused lm_head+argmax Pallas kernel
+        (ops/pallas_lmhead.py); its argmax is bitwise-equal in exact
+        arithmetic but the bf16 dot can flip near-tie argmaxes vs the XLA
+        f32 head (~1 per 60 steps on a V=513 random-init test model —
+        kernel docstring). Pass ``fused_head=False`` to reproduce pre-r4
+        runs bit-for-bit. The kernel only engages when the compute policy
+        is bfloat16 (matching numerics envelopes)."""
         arch = self.config.lm_arch
         eos = arch.eos_token_id if eos_token_id is None else eos_token_id
         pad = eos if pad_token_id is None else pad_token_id
@@ -401,7 +419,7 @@ class FlamingoModel:
             int8_kv_cache=int8_kv_cache, prefix_block=prefix_block,
             beam_reorder=beam_reorder, flat_kv_cache=flat_kv_cache,
             megakernel=megakernel, w8a8=w8a8, fused_head=fused_head,
-            return_scores=return_scores)
+            return_scores=return_scores, output_scores=output_scores)
         return _generate(
             self.params, self.config, jnp.asarray(input_ids),
             policy=self.policy, dc=dc,

@@ -31,6 +31,12 @@ Padded vocab rows (``pad_head_weights`` pads V up to the chunk grid; TP's
 pad_vocab_params rows are handled the same way) are masked to -inf via the
 ``n_valid`` bound before the max — zero-scale pad rows would otherwise win
 on all-negative rows.
+
+NaN logits are undefined behavior (advisor r4): a NaN chunk max fails the
+kernel's strict ``cmax > m`` comparison, so the fused path keeps an earlier
+index while ``jnp.argmax`` would propagate the NaN's index. Degenerate
+(NaN hidden-state) inputs already have no meaningful argmax; the two paths
+simply disagree on WHICH arbitrary token they emit.
 """
 from __future__ import annotations
 

@@ -201,7 +201,8 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
                                bp["fc2"]["b"])
         key = str(l)
         wlist, slist = [], []
-        if key in params["xattn"]:
+        has_x = key in params["xattn"]
+        if has_x:
             xb = params["xattn"][key]
             at = xb["attn"]
             assert xb["ffw"]["fc1"]["w8"].shape[1] == Dff, \
@@ -219,8 +220,16 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
                 jnp.tanh(jnp.asarray(xb["alpha_ffw"], jnp.float32)),
                 zvec(126)])
         else:
+            # ragged schedule (r5, VERDICT #2): layers without a gated-xattn
+            # block pack NO xattn chunks — the kernel's xattn phase (compute
+            # + weight/KV DMAs) is runtime-gated by the has-xattn SMEM table,
+            # so non-xattn layers stream zero xattn bytes instead of the r4
+            # design's NX zero chunks (+33 % weight traffic at
+            # xattn_every=2; reference config axis:
+            # /root/reference/flamingo_mini/modeling_flamingo.py:76-94).
+            # The per-chunk SCALES stay at their uniform positions (the
+            # smalls row is uniform and tiny); only weight chunks go ragged.
             n_x = 2 + 2 * (Dff // CW)
-            wlist += [zero_chunk] * n_x
             slist += [zero_scale] * n_x
             xn_s = xn_b = xfn_s = xfn_b = zvec(D)
             gates = zvec(128)
@@ -228,7 +237,9 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
             ws, ss = (chunks_cols if kind == "c" else chunks_rows)(p, n)
             wlist += ws
             slist += ss
-        assert len(wlist) == n_chunks, (len(wlist), n_chunks)
+        n_x_chunks = 2 + 2 * (Dff // CW)
+        assert len(wlist) == (n_chunks if has_x else n_chunks - n_x_chunks), \
+            (len(wlist), n_chunks, has_x)
         # small row: fields concatenated in _small_layout order
         row = jnp.concatenate([
             pad1(ln1["scale"], D), pad1(ln1["bias"], D),
@@ -241,8 +252,16 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
         layer_w.append(jnp.stack(wlist))
         layer_s.append(row)
 
+    has_list = [1 if str(l) in params["xattn"] else 0 for l in range(L)]
+    n_x_chunks = 2 + 2 * (Dff // CW)
+    ragged = not all(has_list)
+    wbase = []
+    o = 0
+    for h in has_list:
+        wbase.append(o)
+        o += n_chunks if h else n_chunks - n_x_chunks
     layout = dict(offs=offs, soffs=soffs, n_chunks=n_chunks, SMALL=SMALL,
-                  D=D, Dff=Dff, XI=XI)
+                  D=D, Dff=Dff, XI=XI, ragged=ragged, NX=n_x_chunks)
     # gate scalars ride SMEM (Mosaic can't broadcast a (1,1) vector over
     # both sublanes and lanes, but scalar * vector is native); pre-rounded
     # to bf16 so the in-kernel f32 product rounds bit-identically to the
@@ -252,8 +271,15 @@ def pack_decode_weights(params: Dict[str, Any], config) -> Dict[str, Any]:
     # (L, 1, SMALL): the layer index must ride an untiled MAJOR dim — a 2D
     # (L, SMALL) memref is (8, 128)-tiled even in HBM and a dim-0 slice of
     # one row is misaligned (Mosaic memref_slice)
-    return {"w8": jnp.stack(layer_w), "small": jnp.stack(layer_s)[:, None, :],
-            "gates": gates_smem, "layout": layout}
+    # weights are FLAT-packed (TOTAL_CHUNKS, D, D): with a ragged schedule
+    # the per-layer chunk counts differ, and the kernel addresses chunks as
+    # wbase[l] + local_id - (0 if has_x else NX) via the SMEM tables below
+    return {"w8": jnp.concatenate(layer_w, axis=0),
+            "small": jnp.stack(layer_s)[:, None, :],
+            "gates": gates_smem,
+            "wbase": jnp.asarray(wbase, jnp.int32),
+            "hasx": jnp.asarray(has_list, jnp.int32),
+            "layout": layout}
 
 
 def pack_xattn_kv_flat(xattn_kv: Dict[str, Tuple], n_layer: int):
@@ -343,8 +369,19 @@ def _grouped_attention(q_bf, stream_k, stream_v, n_chunks, chunk_rows,
     return out
 
 
+def _eff_wr(wr: int, nx: int, ragged: bool) -> int:
+    """Effective weight-ring depth. Ragged slot parity: trunk chunk local-id
+    c occupies slot c % WR whether or not the NX xattn chunks preceded it —
+    needs NX % WR == 0."""
+    if ragged:
+        while nx % wr:
+            wr -= 1
+    return wr
+
+
 def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
-                  B, T, NMNV, act, xact, act_quant=False):
+                  B, T, NMNV, act, xact, act_quant=False, wr=2, kr=2,
+                  kv_blk=None):
     NC = layout["n_chunks"]
     D = layout["D"]
     CW = D                      # chunk width == n_embd (see packing notes)
@@ -354,16 +391,27 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
     woffs = layout["offs"]
     dh = D // n_head
     xdh = XI // xattn_heads
-    KV_BLK = _kv_blk(D)
+    KV_BLK = kv_blk if kv_blk is not None else _kv_blk(D)
     n_kv_chunks = -(-kv_limit // KV_BLK)
+    WR = min(wr, NC)            # weight-ring slots (WR-1 DMAs in flight)
+    KR = min(kr, max(n_kv_chunks, 1))  # KV-read ring slots per stream
+    RAGGED = bool(layout.get("ragged"))
+    NX = layout["NX"]           # xattn chunks per xattn layer (even)
+    WR = _eff_wr(WR, NX, RAGGED)
 
-    def kernel(cur_ref, gates_ref, npad_ref, tt_ref, x_ref,
-               w_ref, small_ref, xk_ref, xv_ref, kc_in, vc_in,
+    def kernel(cur_ref, gates_ref, wbase_ref, hasx_ref, npad_ref, tt_ref,
+               x_ref, w_ref, small_ref, xk_ref, xv_ref, kc_in, vc_in,
                o_ref, kc_out, vc_out,
                xbuf, wbuf, smallb, kvrow, krd, vrd, xkb, xvb,
                wsem, ssem, rowsem, kvsem, xsem):
         l = pl.program_id(0)
         cur = cur_ref[0]
+        base_w = wbase_ref[l]
+        has_x = hasx_ref[l] > 0
+        # local chunk ids are the UNIFORM schedule's (xattn first); ragged
+        # layers without xattn hold only the trunk chunks, so their physical
+        # index shifts down by NX (never evaluated for locals < NX there)
+        shift = jnp.where(has_x, 0, NX) if RAGGED else 0
 
         @pl.when(l == 0)
         def _():
@@ -374,25 +422,45 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
         sdma.start()
 
         def wdma(slot, c):
-            return pltpu.make_async_copy(w_ref.at[l].at[pl.ds(c, 1)],
-                                         wbuf.at[pl.ds(slot, 1)],
-                                         wsem.at[slot])
+            return pltpu.make_async_copy(
+                w_ref.at[pl.ds(base_w + c - shift, 1)],
+                wbuf.at[pl.ds(slot, 1)], wsem.at[slot])
 
-        wdma(0, 0).start()
+        def wdma_prime(slot, j):
+            # the first consumed chunks are physical base_w + j regardless of
+            # has_x (xattn locals j, or trunk locals NX + j shifted by NX) and
+            # land in slot j either way (NX % WR == 0)
+            return pltpu.make_async_copy(
+                w_ref.at[pl.ds(base_w + j, 1)],
+                wbuf.at[pl.ds(slot, 1)], wsem.at[slot])
+
+        # prime the weight ring: WR-1 chunk DMAs in flight before the first
+        # consume (a depth-2 ping-pong leaves only ONE outstanding, so every
+        # wait eats the DMA grant latency on top of the transfer — the r4
+        # "issue/sync-bound at M=32" signature; deeper rings hide it)
+        for j in range(WR - 1):
+            wdma_prime(j, j).start()
         # xattn K/V: single-shot DMAs, overlap with the weight stream
+        # (skipped entirely on ragged non-xattn layers)
         xkd = pltpu.make_async_copy(xk_ref.at[l], xkb, xsem.at[0])
         xvd = pltpu.make_async_copy(xv_ref.at[l], xvb, xsem.at[1])
-        xkd.start()
-        xvd.start()
+        if RAGGED:
+            @pl.when(has_x)
+            def _():
+                xkd.start()
+                xvd.start()
+        else:
+            xkd.start()
+            xvd.start()
         sdma.wait()
 
         state = {"c": 0}
 
         def next_chunk():
             c = state["c"]
-            slot = c % 2
-            if c + 1 < NC:
-                wdma((c + 1) % 2, c + 1).start()
+            slot = c % WR
+            if c + WR - 1 < NC:
+                wdma((c + WR - 1) % WR, c + WR - 1).start()
             wdma(slot, c).wait()
             state["c"] = c + 1
             return wbuf[slot]
@@ -489,15 +557,6 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                 y = y + sget(bias_name, CW).astype(jnp.bfloat16)
             return y
 
-        x = xbuf[...]                                         # (B, D) bf16
-
-        # ================= gated xattn block =============================
-        y_n = ln(x, "xn_s", "xn_b")
-        q = mm_cols(y_n, "xq", 1)[0]                          # (B, CW) bf16
-        # used columns: [0, XI); the rest are zero-padded weights -> zeros
-        q = q * jnp.asarray(xdh ** -0.5, jnp.bfloat16)        # pre-score scale
-        xkd.wait()
-        xvd.wait()
         tt = tt_ref[:, :1]                                    # (B, 1) int32
 
         def x_valid(j, g, rows_i, cols_i):
@@ -511,36 +570,54 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                     G * xattn_heads, 1)
             return same_b & (media_time == ttg)
 
-        # q columns beyond XI are zero but would still get uniform softmax
-        # weight over masked-NEG rows... they are killed because the heads
-        # only span [0, XI): treat the padded tail as extra heads? No — the
-        # attention runs on XI lanes only:
-        xat = _grouped_attention(
-            q[:, :XI] if XI != CW else q, lambda j: xkb[...],
-            lambda j: xvb[...], 1, NMNV, xattn_heads, xdh, 1.0,
-            x_valid, B, round_scores=True)                     # (B, XI) f32
-        # no-media rows: post-softmax zeroing (tt == 0)
-        xat = jnp.where(tt > 0, xat, 0.0)
-        if XI != CW:
-            xat = jnp.concatenate(
-                [xat, jnp.zeros((B, CW - XI), jnp.float32)], axis=1)
-        xo = mm_rows([xat.astype(jnp.bfloat16)], "xo", 1)     # (B, D) bf16
-        # gate multiplies ride f32 (Mosaic can't broadcast a (1,1) bf16 over
-        # both sublanes and lanes); the gate is rounded to bf16 first so the
-        # f32 product rounded back to bf16 is bit-identical to the XLA
-        # path's bf16 x bf16 multiply
-        g_attn = gates_ref[l, 0]                               # SMEM scalar
-        x = x + (g_attn * xo.astype(jnp.float32)).astype(jnp.bfloat16)
-        # gated FFW: LN -> fc1 -> xattn_act -> fc2 (ops.layers.feed_forward;
-        # NB the xattn FFW act is config.xattn_act, NOT the trunk's — OPT's
-        # relu trunk exposed the difference, and gelu vs gelu_new matters
-        # for GPT-2 bitwise parity too)
-        h = ln(x, "xfn_s", "xfn_b")
-        hs = mm_cols(h, "xf1", Dff // CW)
-        hs = [xact(p) for p in hs]
-        xf = mm_rows(hs, "xf2", Dff // CW)
-        g_ffw = gates_ref[l, 1]                                # SMEM scalar
-        x = x + (g_ffw * xf.astype(jnp.float32)).astype(jnp.bfloat16)
+        # ================= gated xattn block =============================
+        # Runtime-gated on ragged schedules (xattn_every > 1): non-xattn
+        # layers skip the whole phase — its NX weight chunks, the xattn K/V
+        # DMAs AND the compute — instead of streaming zero chunks (r4).
+        def xattn_block():
+            x = xbuf[...]                                     # (B, D) bf16
+            y_n = ln(x, "xn_s", "xn_b")
+            q = mm_cols(y_n, "xq", 1)[0]                      # (B, CW) bf16
+            # used columns: [0, XI); the rest are zero-padded weights -> 0
+            q = q * jnp.asarray(xdh ** -0.5, jnp.bfloat16)    # pre-score
+            xkd.wait()
+            xvd.wait()
+            # q columns beyond XI are zero but would still get uniform
+            # softmax weight over masked-NEG rows... they are killed because
+            # the heads only span [0, XI): the attention runs on XI lanes:
+            xat = _grouped_attention(
+                q[:, :XI] if XI != CW else q, lambda j: xkb[...],
+                lambda j: xvb[...], 1, NMNV, xattn_heads, xdh, 1.0,
+                x_valid, B, round_scores=True)                # (B, XI) f32
+            # no-media rows: post-softmax zeroing (tt == 0)
+            xat_z = jnp.where(tt > 0, xat, 0.0)
+            if XI != CW:
+                xat_z = jnp.concatenate(
+                    [xat_z, jnp.zeros((B, CW - XI), jnp.float32)], axis=1)
+            xo = mm_rows([xat_z.astype(jnp.bfloat16)], "xo", 1)  # (B, D)
+            # gate multiplies ride f32 (Mosaic can't broadcast a (1,1) bf16
+            # over both sublanes and lanes); the gate is rounded to bf16
+            # first so the f32 product rounded back to bf16 is bit-identical
+            # to the XLA path's bf16 x bf16 multiply
+            g_attn = gates_ref[l, 0]                          # SMEM scalar
+            x = x + (g_attn * xo.astype(jnp.float32)).astype(jnp.bfloat16)
+            # gated FFW: LN -> fc1 -> xattn_act -> fc2 (ops.layers.
+            # feed_forward; NB the xattn FFW act is config.xattn_act, NOT
+            # the trunk's — OPT's relu trunk exposed the difference, and
+            # gelu vs gelu_new matters for GPT-2 bitwise parity too)
+            h = ln(x, "xfn_s", "xfn_b")
+            hs = mm_cols(h, "xf1", Dff // CW)
+            hs = [xact(p) for p in hs]
+            xf = mm_rows(hs, "xf2", Dff // CW)
+            g_ffw = gates_ref[l, 1]                           # SMEM scalar
+            x = x + (g_ffw * xf.astype(jnp.float32)).astype(jnp.bfloat16)
+            xbuf[...] = x
+
+        if RAGGED:
+            pl.when(has_x)(xattn_block)
+        else:
+            xattn_block()
+        x = xbuf[...]
 
         # ================= GPT-2 block ===================================
         h1 = ln(x, "ln1_s", "ln1_b")
@@ -564,15 +641,21 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                 src.at[l].at[pl.ds(j * KV_BLK, KV_BLK)],
                 buf.at[slot], kvsem.at[sem_base + slot])
 
-        kv_dma(krd, kc_out, 0, 0, 0).start()
-        kv_dma(vrd, vc_out, 0, 0, 2).start()
+        # prime both KV-read rings (KR-1 chunk DMAs in flight per stream)
+        for j in range(min(KR - 1, n_kv_chunks)):
+            kv_dma(krd, kc_out, j, j, 0).start()
+            kv_dma(vrd, vc_out, j, j, KR).start()
+        if KR == 1:
+            kv_dma(krd, kc_out, 0, 0, 0).start()
+            kv_dma(vrd, vc_out, 0, 0, KR).start()
         npad = npad_ref[:, :1]                                # (B, 1) int32
 
         def stream(buf, src, sem_base):
             def get(j):
-                slot = j % 2
-                if j + 1 < n_kv_chunks:
-                    kv_dma(buf, src, (j + 1) % 2, j + 1, sem_base).start()
+                slot = j % KR
+                if j + KR - 1 < n_kv_chunks and KR > 1:
+                    kv_dma(buf, src, (j + KR - 1) % KR, j + KR - 1,
+                           sem_base).start()
                 kv_dma(buf, src, slot, j, sem_base).wait()
                 return buf[slot]
             return get
@@ -587,7 +670,7 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
             return same_b & (t_pos >= npg) & (t_pos <= cur)
 
         att = _grouped_attention(
-            ql, stream(krd, kc_out, 0), stream(vrd, vc_out, 2),
+            ql, stream(krd, kc_out, 0), stream(vrd, vc_out, KR),
             n_kv_chunks, KV_BLK, n_head, dh, dh ** -0.5, a_valid, B)
         ao = mm_cols(att.astype(jnp.bfloat16), "o", 1, bias_name="b_o",
                      bias_width=CW)[0]
@@ -609,10 +692,11 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "xattn_heads", "n_visual", "kv_limit", "layout_key", "act_name",
-    "xact_name", "act_quant", "interpret"))
-def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
+    "xact_name", "act_quant", "interpret", "wr", "kr", "kv_blk"))
+def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
+               xv, kc, vc, *,
                n_head, xattn_heads, n_visual, kv_limit, layout_key, act_name,
-               xact_name, act_quant, interpret):
+               xact_name, act_quant, interpret, wr=2, kr=2, kv_blk=None):
     layout = dict(layout_key)
     layout["offs"] = dict(layout["offs"])
     layout["soffs"] = dict(layout["soffs"])
@@ -649,17 +733,31 @@ def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
     kern = _build_kernel(n_head=n_head, xattn_heads=xattn_heads,
                          n_visual=n_visual, kv_limit=kv_limit, layout=layout,
                          B=B, T=T, NMNV=NMNV, act=act, xact=xact,
-                         act_quant=act_quant)
-    KV_BLK = _kv_blk(D)
+                         act_quant=act_quant, wr=wr, kr=kr, kv_blk=kv_blk)
+    KV_BLK = kv_blk if kv_blk is not None else _kv_blk(D)
+    WR = _eff_wr(min(wr, NC), layout["NX"], bool(layout.get("ragged")))
+    n_kv_chunks = -(-min(kv_limit, T) // KV_BLK)
+    KR = min(kr, max(n_kv_chunks, 1))
     npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (B, 128))
     tt_v = jnp.broadcast_to(text_time.astype(jnp.int32).reshape(B)[:, None],
                             (B, 128))
+    # Scoped-VMEM limit: Mosaic's default is 16 MB but the chip's physical
+    # VMEM is far larger (measured ≥120 MB on this v5e — r5 probe). Budget =
+    # scratch buffers + an 8 MB allowance for SSA temps (the int8→bf16 chunk
+    # convert alone is 2·D² bytes) so deep DMA rings compile.
+    XIb = layout["XI"]
+    scratch_bytes = (B * D * 2 + WR * D * D + SMALL * 4 + 2 * B * D * 2
+                     + 2 * KR * KV_BLK * B * D * 2 + 2 * NMNV * B * XIb * 2
+                     + 4 * B * 128 * 4 + 2 * B * D * 2)
+    vmem_limit = min(max(scratch_bytes + (8 << 20), 16 << 20), 110 << 20)
     out, kc2, vc2 = pl.pallas_call(
         kern,
         grid=(L,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # gates
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # wbase (ragged offsets)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # hasx
             pl.BlockSpec(memory_space=pltpu.VMEM),   # npad
             pl.BlockSpec(memory_space=pltpu.VMEM),   # text_time
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x
@@ -681,25 +779,26 @@ def _mega_call(cur, gates, npad, text_time, x, w8, small, xk, xv, kc, vc, *,
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ],
-        input_output_aliases={9: 1, 10: 2},
+        input_output_aliases={11: 1, 12: 2},
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.bfloat16),              # xbuf
-            pltpu.VMEM((2, D, D), jnp.int8),               # wbuf ping-pong
+            pltpu.VMEM((WR, D, D), jnp.int8),              # wbuf ring
             pltpu.VMEM((1, SMALL), jnp.float32),           # smallb
             pltpu.VMEM((2, 1, B, D), jnp.bfloat16),        # kvrow (k, v)
-            pltpu.VMEM((2, KV_BLK, B, D), jnp.bfloat16),   # krd
-            pltpu.VMEM((2, KV_BLK, B, D), jnp.bfloat16),   # vrd
+            pltpu.VMEM((KR, KV_BLK, B, D), jnp.bfloat16),  # krd
+            pltpu.VMEM((KR, KV_BLK, B, D), jnp.bfloat16),  # vrd
             pltpu.VMEM((NMNV, B, layout["XI"]), jnp.bfloat16),  # xkb
             pltpu.VMEM((NMNV, B, layout["XI"]), jnp.bfloat16),  # xvb
-            pltpu.SemaphoreType.DMA((2,)),                 # wsem
+            pltpu.SemaphoreType.DMA((WR,)),                # wsem
             pltpu.SemaphoreType.DMA(()),                   # ssem
             pltpu.SemaphoreType.DMA((2,)),                 # rowsem
-            pltpu.SemaphoreType.DMA((4,)),                 # kvsem
+            pltpu.SemaphoreType.DMA((2 * KR,)),            # kvsem
             pltpu.SemaphoreType.DMA((2,)),                 # xsem
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(jnp.reshape(cur, (1,)).astype(jnp.int32), gates, npad_v, tt_v, x,
-      w8, small, xk, xv, kc, vc)
+    )(jnp.reshape(cur, (1,)).astype(jnp.int32), gates, wbase, hasx,
+      npad_v, tt_v, x, w8, small, xk, xv, kc, vc)
     return out, kc2, vc2
 
 
@@ -707,7 +806,26 @@ def hashable_layout(layout: dict):
     return (("offs", tuple(sorted(layout["offs"].items()))),
             ("soffs", tuple(sorted(layout["soffs"].items()))),
             ("n_chunks", layout["n_chunks"]), ("SMALL", layout["SMALL"]),
-            ("D", layout["D"]), ("Dff", layout["Dff"]), ("XI", layout["XI"]))
+            ("D", layout["D"]), ("Dff", layout["Dff"]), ("XI", layout["XI"]),
+            ("ragged", bool(layout.get("ragged"))), ("NX", layout["NX"]))
+
+
+def _ring_defaults(D: int, B: int):
+    """Per-shape DMA-ring depths (r5, VERDICT #1). The r4 depth-2 ping-pong
+    leaves ONE DMA outstanding, so every chunk wait pays the DMA grant
+    latency on top of the transfer — measured end-to-end as the
+    "issue/sync-bound at M=32" plateau. Deeper rings hide the latency at
+    the cost of VMEM ring slots (wr x D^2 int8 weight bytes, 2 x kr x
+    KV_BLK x B x D bf16 cache bytes); defaults measured on the headline
+    shape (bench.py ladder, BENCH.md r5). Env overrides FLAMINGO_MEGA_WR /
+    _KR / _KVBLK for A/B runs."""
+    import os
+    wr = int(os.environ.get("FLAMINGO_MEGA_WR", "0")) or (4 if D <= 1024
+                                                          else 2)
+    kr = int(os.environ.get("FLAMINGO_MEGA_KR", "0")) or (4 if D <= 1024
+                                                          else 2)
+    kv_blk = int(os.environ.get("FLAMINGO_MEGA_KVBLK", "0")) or None
+    return wr, kr, kv_blk
 
 
 def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
@@ -722,11 +840,14 @@ def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
     _D, _Dff, _L, n_head = trunk_dims(arch)
     kv_limit = min(kv_limit if kv_limit is not None else kc.shape[1],
                    kc.shape[1])
+    wr, kr, kv_blk = _ring_defaults(_D, kc.shape[2])
     return _mega_call(
-        cur, packed["gates"], npad, text_time, x_emb, packed["w8"],
+        cur, packed["gates"], packed["wbase"], packed["hasx"], npad,
+        text_time, x_emb, packed["w8"],
         packed["small"], xk, xv,
         kc, vc, n_head=n_head, xattn_heads=config.xattn_heads,
         n_visual=config.resampler_num_latents, kv_limit=kv_limit,
         layout_key=hashable_layout(packed["layout"]),
         act_name=arch.activation, xact_name=config.xattn_act,
-        act_quant=act_quant, interpret=interpret)
+        act_quant=act_quant, interpret=interpret, wr=wr, kr=kr,
+        kv_blk=kv_blk)

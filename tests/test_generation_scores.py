@@ -122,6 +122,86 @@ def test_greedy_scores_stop_at_eos(gpt2_pair):
     assert np.isfinite(outs[0][1]).all()
 
 
+def test_greedy_per_step_scores_match_hf(gpt2_pair):
+    """output_scores=True returns the (b, max_length) per-step transition
+    log-prob array; each generated position must equal the corresponding HF
+    compute_transition_scores(normalize_logits=True) column."""
+    m, params, config = gpt2_pair
+    b, n, max_length = 2, 4, 12
+    rs = np.random.RandomState(11)
+    input_ids = rs.randint(0, 100, (b, n)).astype(np.int64)
+    eos = 128  # unreachable
+
+    from transformers import GenerationConfig
+    with torch.no_grad():
+        out = m.generate(
+            torch.tensor(input_ids),
+            generation_config=GenerationConfig(
+                max_length=max_length, do_sample=False, eos_token_id=eos,
+                pad_token_id=eos, return_dict_in_generate=True,
+                output_scores=True))
+        trans = m.compute_transition_scores(
+            out.sequences, out.scores, normalize_logits=True).numpy()
+
+    dc = DecodeConfig(max_length=max_length, eos_token_id=eos,
+                      pad_token_id=eos, output_scores=True)
+    got_seq, got_steps = generate(params, config, jnp.asarray(input_ids),
+                                  policy=PARITY, dc=dc)
+    got_steps = np.asarray(got_steps)
+    assert got_steps.shape == (b, max_length)
+    np.testing.assert_array_equal(np.asarray(got_seq), out.sequences.numpy())
+    # generated positions n..max_length-1 <-> HF transition columns 0..
+    np.testing.assert_allclose(got_steps[:, n:], trans, atol=1e-4, rtol=1e-4)
+    # prompt slots hold 0.0
+    np.testing.assert_array_equal(got_steps[:, :n], 0.0)
+
+
+def test_sample_per_step_scores_sum_to_sequence_scores(gpt2_pair):
+    """Sampling with both surfaces on: the per-step array must sum to the
+    returned sequences_scores, and tokens match the output_scores-off run
+    (same rng stream — the extra buffer must not consume randomness)."""
+    m, params, config = gpt2_pair
+    ids = np.arange(4)[None] + 30
+    kw = dict(max_length=12, eos_token_id=128, pad_token_id=0,
+              do_sample=True, top_k=8, temperature=1.3)
+    rng = jax.random.PRNGKey(5)
+    seq0, sum0 = generate(params, config, jnp.asarray(ids), policy=PARITY,
+                          dc=DecodeConfig(**kw, return_scores=True), rng=rng)
+    seq, ssum, steps = generate(
+        params, config, jnp.asarray(ids), policy=PARITY,
+        dc=DecodeConfig(**kw, return_scores=True, output_scores=True),
+        rng=rng)
+    np.testing.assert_array_equal(np.asarray(seq), np.asarray(seq0))
+    np.testing.assert_allclose(np.asarray(ssum), np.asarray(sum0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(steps).sum(axis=1),
+                               np.asarray(ssum), atol=1e-4, rtol=1e-4)
+
+
+def test_per_step_scores_zero_after_eos(gpt2_pair):
+    m, params, config = gpt2_pair
+    ids = np.arange(4)[None] + 10
+    with torch.no_grad():
+        probe = m.generate(torch.tensor(ids), max_length=16, num_beams=1,
+                           pad_token_id=0, eos_token_id=None, do_sample=False)
+    eos = int(probe[0, 7])  # forces EOS mid-decode
+    dc = DecodeConfig(max_length=16, eos_token_id=eos, pad_token_id=0,
+                      output_scores=True)
+    seq, steps = generate(params, config, jnp.asarray(ids), policy=PARITY,
+                          dc=dc)
+    seq, steps = np.asarray(seq), np.asarray(steps)
+    eos_pos = int(np.argmax(seq[0] == eos))
+    assert 4 <= eos_pos < 15  # EOS fired mid-decode
+    # the EOS step itself scores; every pad step after it holds 0.0
+    assert steps[0, eos_pos] != 0.0
+    np.testing.assert_array_equal(steps[0, eos_pos + 1:], 0.0)
+
+
+def test_output_scores_rejects_beams(gpt2_pair):
+    with pytest.raises(ValueError, match="output_scores"):
+        DecodeConfig(max_length=8, eos_token_id=128, pad_token_id=0,
+                     num_beams=3, output_scores=True)
+
+
 def test_sample_scores_match_manual_recompute(gpt2_pair):
     """Sampled scores equal the sum of warped-distribution log-probs of the
     emitted tokens, recomputed step-by-step with teacher forcing."""

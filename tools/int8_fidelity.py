@@ -151,7 +151,7 @@ def main():
         # ARGUMENT); wrapping it in another jit here would capture the
         # ~700 MB param pytree as closure constants and stall compilation.
         def run(ps, ids, media, mask, px, d=dc):
-            out, _, _ = _generate_impl(ps, config, d, FAST, ids, media,
+            out, _, _, _ = _generate_impl(ps, config, d, FAST, ids, media,
                                     mask, None, px, jax.random.PRNGKey(0))
             return out
 
