@@ -148,6 +148,39 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
     cost = max(t_full - t_null, decode_tokens * step)
     if cost <= 0:
         cost = t_full
+    protocol = "two-length"
+
+    # Sustained-chain protocol (r5, VERDICT #6): when the whole program's
+    # on-chip cost is within 3x of the null-program transfer floor, the
+    # two-length subtraction is noise-dominated (config 5 used to swing
+    # ±25 % run to run). Chain K complete generate programs inside ONE
+    # jitted fori_loop with a scalar carry feeding each iteration's pixels
+    # (so XLA cannot CSE the iterations) — the same sustained protocol
+    # bench_train.py uses — and take the K-vs-K/2 marginal per decode.
+    if cost < 3.0 * t_null:
+        from jax import lax
+
+        def make_chained(K):
+            impl = _beam_impl if dc.num_beams > 1 else _generate_impl
+
+            @jax.jit
+            def chained(ps, ids, media, mask, px, seed):
+                def body(_i, acc):
+                    px_i = px + (acc * 1e-9 + seed * 1e-3).astype(px.dtype)
+                    out = impl(ps, config, dc_full, FAST, ids, media, mask,
+                               None, px_i, jax.random.PRNGKey(0))[0]
+                    return acc + out.sum().astype(jnp.float32)
+                return lax.fori_loop(0, K, body, seed)
+            return chained
+
+        K, K2 = 8, 4
+        t_k2 = timed(make_chained(K2))
+        t_k = timed(make_chained(K))
+        cost_chained = (t_k - t_k2) / (K - K2)
+        if cost_chained > 0:
+            cost = cost_chained
+            protocol = f"chained-fori K={K}/{K2}"
+
     result = {
         "config": name,
         "captions_per_sec": round(batch / cost, 3),
@@ -158,6 +191,7 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
         "t_null_s": round(t_null, 4),
         "step_ms": round(step * 1000, 3),
         "compile_s": round(compile_s, 1),
+        "protocol": protocol,
     }
     print(json.dumps(result), flush=True)
     return result

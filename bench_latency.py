@@ -71,6 +71,15 @@ def measure(batch):
     @jax.jit
     def decode(ps, ids, media, mask, px, seed):
         px = px + seed.astype(px.dtype) * 1e-3
+        if dc.megakernel and batch % 2 == 1:
+            # odd-batch megakernel padding, exactly what generate() does
+            # (r5, VERDICT #3): duplicate the last row, slice it back off —
+            # all inside the one jitted program
+            pad = lambda x: jnp.concatenate([x, x[-1:]], axis=0)
+            out, _, _, _ = _generate_impl(
+                ps, config, dc, FAST, pad(ids), pad(media), pad(mask),
+                None, pad(px), jax.random.PRNGKey(0))
+            return out[:batch]
         out, _, _, _ = _generate_impl(ps, config, dc, FAST, ids, media, mask,
                                 None, px, jax.random.PRNGKey(0))
         return out

@@ -90,11 +90,21 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     lp_pow = dc.length_penalty
     early = bool(dc.early_stopping)
 
+    # Flat T-major cache + ancestry-masked Pallas beam kernel (r5, VERDICT
+    # #4): lazy reorder over unmoved cache rows, streamed at the flat
+    # kernel's rate instead of the XLA head-layout einsums. The per-layer
+    # kernel needs the lazy table (the gather mode physically permutes
+    # rows) and bf16/f32 K/V.
+    flat_beam = (dc.flat_kv_cache and dc.beam_reorder == "lazy"
+                 and not dc.int8_kv_cache)
     next_logits, xattn_kv, st = _prefill(
         params, config, dc, policy, input_ids, media_locations,
-        attention_mask, visual_features)
+        attention_mask, visual_features, flat=flat_beam)
 
-    cache = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), st["cache"])
+    # flat cache leaves are T-major (max_len, b, D): beams tile the ROW dim
+    tile_cache = ((lambda x: jnp.repeat(x, k, axis=1)) if flat_beam
+                  else (lambda x: _tile_beams(x, k)))
+    cache = jax.tree_util.tree_map(tile_cache, st["cache"])
     xattn_kv = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), xattn_kv)
     tokens = _tile_beams(st["tokens"], k)            # (b*k, max_len) running
     mask_buf = _tile_beams(st["mask"], k)
@@ -357,11 +367,16 @@ def _group_beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     early = bool(dc.early_stopping)
     dp = dc.diversity_penalty
 
+    # flat T-major cache + Pallas beam kernel when lazy (see _beam_impl)
+    flat_beam = (dc.flat_kv_cache and dc.beam_reorder == "lazy"
+                 and not dc.int8_kv_cache)
     next_logits, xattn_kv, st = _prefill(
         params, config, dc, policy, input_ids, media_locations,
-        attention_mask, visual_features)
+        attention_mask, visual_features, flat=flat_beam)
 
-    cache = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), st["cache"])
+    tile_cache = ((lambda x: jnp.repeat(x, k, axis=1)) if flat_beam
+                  else (lambda x: _tile_beams(x, k)))
+    cache = jax.tree_util.tree_map(tile_cache, st["cache"])
     xattn_kv = jax.tree_util.tree_map(lambda x: _tile_beams(x, k), xattn_kv)
     tokens = _tile_beams(st["tokens"], k)            # (b*k, max_len)
     mask_buf = _tile_beams(st["mask"], k)

@@ -147,12 +147,21 @@ def _self_attention(
         vf = lax.dynamic_update_slice(layer_cache["vf"], vT, at2)
         new_cache = {"kf": kf, "vf": vf}
         if n == 1:
-            # decode step: Pallas streaming attention over the live prefix
-            from ..ops.pallas_decode import decode_attention
-            out2d = decode_attention(
-                q[:, 0], kf, vf, npad, cache_index,
-                n_head=n_head, scale=1.0 / ((d_model // n_head) ** 0.5),
-                kv_limit=kv_limit)
+            # decode step: Pallas streaming attention over the live prefix;
+            # beams ride the ancestry-masked variant over the same flat
+            # cache (rows never move — r5, VERDICT #4)
+            if beam_anc is not None:
+                from ..ops.pallas_decode import decode_attention_beam
+                out2d = decode_attention_beam(
+                    q[:, 0], kf, vf, beam_anc, npad, cache_index,
+                    n_head=n_head, scale=1.0 / ((d_model // n_head) ** 0.5),
+                    kb=beam_anc.shape[1], kv_limit=kv_limit)
+            else:
+                from ..ops.pallas_decode import decode_attention
+                out2d = decode_attention(
+                    q[:, 0], kf, vf, npad, cache_index,
+                    n_head=n_head, scale=1.0 / ((d_model // n_head) ** 0.5),
+                    kv_limit=kv_limit)
             return linear(out2d[:, None, :], bp["c_proj"], policy), new_cache
         # prefill (cache_index == 0): attend over the fresh prompt K/V —
         # equivalent to masked attention over the buffer, without reading

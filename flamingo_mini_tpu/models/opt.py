@@ -198,10 +198,17 @@ def apply_opt(
             vbuf = lax.dynamic_update_slice(cache[i]["vf"], vT, at2)
             layer_kv = {"kf": kbuf, "vf": vbuf}
             if n == 1:
-                from ..ops.pallas_decode import decode_attention
-                out2d = decode_attention(qf[:, 0], kbuf, vbuf, npad,
-                                         cache_index, n_head=n_head,
-                                         scale=scale, kv_limit=kv_limit)
+                if beam_anc is not None:
+                    from ..ops.pallas_decode import decode_attention_beam
+                    out2d = decode_attention_beam(
+                        qf[:, 0], kbuf, vbuf, beam_anc, npad, cache_index,
+                        n_head=n_head, scale=scale,
+                        kb=beam_anc.shape[1], kv_limit=kv_limit)
+                else:
+                    from ..ops.pallas_decode import decode_attention
+                    out2d = decode_attention(qf[:, 0], kbuf, vbuf, npad,
+                                             cache_index, n_head=n_head,
+                                             scale=scale, kv_limit=kv_limit)
                 h = linear(out2d[:, None, :], bp["out_proj"], policy)
             else:
                 out = attend(split_heads(qf, n_head), split_heads(kf, n_head),

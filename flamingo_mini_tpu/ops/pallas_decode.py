@@ -236,6 +236,231 @@ def decode_attention(
     return out
 
 
+def _decode_kernel_beam(cur_ref, npad_ref, anc_ref, q_ref, k_ref, v_ref,
+                        o_ref, m_ref, l_ref, acc_ref, *,
+                        n_head: int, scale: float, group: int, kb: int,
+                        t_pad: int):
+    """Beam variant of ``_decode_kernel`` (r5, VERDICT #4): ancestor-indexed
+    (lazy) beam attention over the UNPERMUTED flat T-major cache.
+
+    Rows come in beam families of ``kb`` physical rows; logical beam i of
+    family f attends physical row j of family f at position t iff
+    ``anc[f, i, t] == j`` (ops/attention.attend_beam_lazy semantics). The
+    group width is lcm(8, kb): a multiple of 8 because Mosaic only slices
+    the cache's sublane (batch) dim at 8-multiples — the exact misalignment
+    that kept beam-3 off the kernel in r4 — and a multiple of kb so beam
+    families never straddle groups.
+
+    The per-element ancestry lookup A[(r,h),(t,c)] = anc[r, t] cannot be
+    laid out directly (it would need a lane-granularity slice/transpose of
+    the resident (B, T) table); instead it is computed EXACTLY on the MXU:
+    anc values are tiny integers, so a 0/1 selection matrix W2[(tp),(c)] =
+    (tp == t(c)) gives dot(anc_rows_bf16, W2)[(r,h),(c)] == anc[r, t(c)]
+    bit-exactly (one 1.0 per column, values << bf16's 256 integer range).
+    """
+    tj = pl.program_id(0)
+    T_blk, B, D = k_ref.shape
+    dh = D // n_head
+    G = group
+    GH = G * n_head
+    TG = T_blk * G
+    cur = cur_ref[0]
+
+    @pl.when(tj == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    kv_dtype = k_ref.dtype
+    selT = jnp.where((lax.broadcasted_iota(jnp.int32, (n_head, D), 1) // dh)
+                     == lax.broadcasted_iota(jnp.int32, (n_head, D), 0),
+                     1.0, 0.0).astype(kv_dtype)             # (H, D)
+
+    rows_i = lax.broadcasted_iota(jnp.int32, (GH, TG), 0)
+    cols_i = lax.broadcasted_iota(jnp.int32, (GH, TG), 1)
+    t_pos = tj * T_blk + cols_i // G                        # (GH, TG)
+    # beam-family alignment: query row's family == cache row's family
+    same_family = ((rows_i // n_head) // kb) == ((cols_i % G) // kb)
+    base_valid = same_family & (t_pos <= cur)
+    col_beam = ((cols_i % G) % kb).astype(jnp.float32)      # (GH, TG)
+    # W2: selects lane window [tj*T_blk, (tj+1)*T_blk) of the resident
+    # (B, t_pad) ancestry rows and expands t over the G-interleaved cols
+    w_rows = lax.broadcasted_iota(jnp.int32, (t_pad, TG), 0)
+    w_cols = lax.broadcasted_iota(jnp.int32, (t_pad, TG), 1)
+    W2 = jnp.where(w_rows == tj * T_blk + w_cols // G,
+                   1.0, 0.0).astype(jnp.bfloat16)           # (t_pad, TG)
+
+    for g in range(B // G):
+        sl = slice(g * G, (g + 1) * G)
+        slh = slice(g * GH, (g + 1) * GH)
+        qr = (selT[None] * q_ref[sl][:, None, :]).reshape(GH, D)
+        kg = k_ref[:, sl, :].reshape(TG, D)
+        vg = v_ref[:, sl, :].reshape(TG, D)
+
+        s = lax.dot_general(qr, kg, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (GH, TG)
+        s = s * scale
+        npad_r = jnp.broadcast_to(npad_ref[sl, :1][:, None, :],
+                                  (G, n_head, 1)).reshape(GH, 1)
+        # ancestry per (query row, t): exact MXU selection (see docstring)
+        a_gh = jnp.broadcast_to(
+            anc_ref[sl][:, None, :].astype(jnp.bfloat16),
+            (G, n_head, t_pad)).reshape(GH, t_pad)
+        anc_elem = lax.dot_general(a_gh, W2, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        valid = (base_valid & (t_pos >= npad_r)
+                 & (anc_elem == col_beam))
+        s = jnp.where(valid, s, NEG)
+
+        m_prev = m_ref[slh, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[slh, :1] = l_ref[slh, :1] * alpha \
+            + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[slh, :1] = m_new
+
+        bhd = lax.dot_general(p.astype(kv_dtype), vg,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        acc_ref[slh, :] = acc_ref[slh, :] * alpha + bhd
+
+    @pl.when(tj == pl.num_programs(0) - 1)
+    def _finish():
+        selTf = selT.astype(jnp.float32)[None]
+        acc = acc_ref[...].reshape(B, n_head, D)
+        l = jnp.maximum(l_ref[:, :1], 1e-30).reshape(B, n_head, 1)
+        o_ref[...] = jnp.sum(acc / l * selTf, axis=1).astype(o_ref.dtype)
+
+
+def beam_kernel_group(b_total: int, kb: int, n_head: int) -> int:
+    """Group width for the beam kernel: a multiple of 8 (Mosaic sublane
+    slice granularity) and of kb (families unsplit) that divides the total
+    row count; 0 if none exists (caller falls back to the XLA path)."""
+    import math
+    g0 = (8 * kb) // math.gcd(8, kb)
+    if b_total % g0:
+        return 0
+    return g0
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_head", "scale", "kb", "kv_limit", "interpret"))
+def decode_attention_beam(
+    q: jnp.ndarray,        # (b*kb, D) one query per logical beam (unscaled)
+    k_cache: jnp.ndarray,  # (max_len, b*kb, D) T-major flat K cache
+    v_cache: jnp.ndarray,  # (max_len, b*kb, D) T-major flat V cache
+    anc: jnp.ndarray,      # (b, kb, max_len) int32 ancestry table
+    npad: jnp.ndarray,     # (b*kb,) int32 first real slot per row
+    cur: jnp.ndarray,      # () int32 last valid slot (== current write pos)
+    *,
+    n_head: int,
+    scale: float,
+    kb: int,
+    kv_limit: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Lazy-beam decode attention over the flat T-major cache -> (b*kb, D).
+
+    Same streaming structure as ``decode_attention`` (grid over T-chunks,
+    online softmax, full buffers passed, live prefix covered); the ancestry
+    permutation rides in the in-kernel mask, so cache rows are never moved
+    and the only per-step beam cost beyond the greedy kernel is the tiny
+    exact ancestry-selection dot (docstring of ``_decode_kernel_beam``)."""
+    max_len, B, D = k_cache.shape
+    b, kb2, _ = anc.shape
+    assert kb2 == kb and b * kb == B, (anc.shape, kb, B)
+    if anc.shape[2] < max_len:
+        # flat caches round their length to a 64-multiple; positions past
+        # the (max_length-sized) table are t-masked anyway
+        anc = jnp.pad(anc, ((0, 0), (0, 0), (0, max_len - anc.shape[2])))
+    T = max_len if kv_limit is None else min(kv_limit, max_len)
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    group = beam_kernel_group(B, kb, n_head)
+    if (not interpret and D % 128 != 0) or group == 0:
+        return decode_attention_beam_reference(
+            q, k_cache, v_cache, anc, npad, cur, n_head=n_head, scale=scale,
+            kb=kb, kv_limit=kv_limit)
+
+    blk = 8
+    for cand in (128, 64, 32, 16, 8):
+        if max_len % cand == 0:
+            blk = cand
+            break
+    # keep the (GH, TG) score tile bounded (~2 MB f32 at G=24, blk=16)
+    while group * n_head * blk * group * 4 > (24 << 20) and blk > 8:
+        blk //= 2
+    n_chunks = pl.cdiv(T, blk)
+    t_pad = -(-max_len // 128) * 128   # lane-aligned resident ancestry width
+
+    npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (B, 128))
+    ancQ = jnp.pad(anc.reshape(B, max_len).astype(jnp.int32),
+                   ((0, 0), (0, t_pad - max_len)))
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_beam, n_head=n_head,
+                          scale=float(scale), group=group, kb=kb,
+                          t_pad=t_pad),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 128), lambda j: (0, 0)),
+            pl.BlockSpec((B, t_pad), lambda j: (0, 0)),  # resident ancestry
+            pl.BlockSpec((B, D), lambda j: (0, 0)),      # resident q
+            pl.BlockSpec((blk, B, D), lambda j: (j, 0, 0)),
+            pl.BlockSpec((blk, B, D), lambda j: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B * n_head, 128), jnp.float32),
+            pltpu.VMEM((B * n_head, 128), jnp.float32),
+            pltpu.VMEM((B * n_head, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                (B * n_head * (D + 256) * 4 + 4 * blk * B * D * 2
+                 + B * (t_pad + 128) * 4 + (48 << 20)), 110 << 20)),
+        interpret=interpret,
+    )(jnp.reshape(cur, (1,)).astype(jnp.int32), npad_v, ancQ, q,
+      k_cache, v_cache)
+    return out
+
+
+def decode_attention_beam_reference(q, k_cache, v_cache, anc, npad, cur, *,
+                                    n_head: int, scale: float, kb: int,
+                                    kv_limit: Optional[int] = None):
+    """XLA reference for the beam kernel (identical semantics, tests)."""
+    max_len, B, D = k_cache.shape
+    b = B // kb
+    dh = D // n_head
+    if anc.shape[2] < max_len:
+        anc = jnp.pad(anc, ((0, 0), (0, 0), (0, max_len - anc.shape[2])))
+    T = max_len if kv_limit is None else min(kv_limit, max_len)
+    # (b, kb_j, h, T, dh) physical rows per family
+    k = k_cache[:T].reshape(T, b, kb, n_head, dh).transpose(1, 2, 3, 0, 4)
+    v = v_cache[:T].reshape(T, b, kb, n_head, dh).transpose(1, 2, 3, 0, 4)
+    qh = q.reshape(b, kb, n_head, dh)
+    # HIGHEST precision: this is a test oracle, and XLA CPU's default f32
+    # matmul rides reduced-precision AMX-bf16 on this host (~2e-3 rel)
+    s = jnp.einsum("bihd,bjhtd->bihjt", qh.astype(jnp.float32),
+                   k.astype(jnp.float32),
+                   precision=lax.Precision.HIGHEST) * scale
+    t_pos = jnp.arange(T)
+    own = anc[:, :, :T][:, :, None, :] == \
+        jnp.arange(kb)[None, None, :, None]                # (b, i, j, t)
+    valid = (own & (t_pos[None, None, None, :] <= cur)
+             & (t_pos[None, None, None, :]
+                >= npad.reshape(b, kb)[:, :, None, None]))
+    s = jnp.where(valid[:, :, None], s, NEG)
+    sf = s.reshape(b, kb, n_head, kb * T)
+    p = jax.nn.softmax(sf, axis=-1).reshape(b, kb, n_head, kb, T)
+    o = jnp.einsum("bihjt,bjhtd->bihd", p.astype(jnp.float32),
+                   v.astype(jnp.float32), precision=lax.Precision.HIGHEST)
+    return o.reshape(B, D).astype(q.dtype)
+
+
 def decode_attention_reference(q, k_cache, v_cache, npad, cur, *,
                                n_head: int, scale: float,
                                kv_limit: Optional[int] = None):

@@ -59,9 +59,13 @@ NEG = float(jnp.finfo(jnp.float32).min)
 
 
 def _kv_blk(D: int) -> int:
-    """Cache-read chunk rows (16 put the VMEM stack 512 B over at the
-    flamingo-mini shape)."""
-    return 8
+    """Cache-read chunk rows. r4 used 8 because 16 put the VMEM stack 512 B
+    over Mosaic's DEFAULT 16 MB scoped limit; r5 measured the chip's real
+    VMEM at >=120 MB and raised the limit (CompilerParams), and the r5
+    sweep found 16-row chunks cut the headline step 1.86 -> ~1.6 ms
+    (fewer KV sync points at ~4 % over-read; 24/32-row chunks give part of
+    it back — BENCH.md r5 ladder)."""
+    return 16
 
 
 # ---------------------------------------------------------------------------
@@ -497,16 +501,16 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
         def wdot_bf16(x_bf, wc8):
             # (B, CW) f32 = x_bf (B, CW) . convert(wc8 (CW, CW) int8).
             # The whole-chunk int8 -> bf16 convert is the kernel's largest
-            # SSA temporary (a (2048, 2048) bf16 value is 8 MB — it alone
-            # blew Mosaic's 16 MB scoped-VMEM stack at OPT-1.3B width), so
-            # wide chunks convert-and-dot in K-row strips with an f32
-            # accumulator. D <= 1024 keeps the single dot (the measured
-            # headline configuration).
-            if CW <= 1024:
+            # SSA temporary (8 MB at OPT-1.3B's (2048, 2048)); r4 strip-
+            # looped wide chunks to fit Mosaic's DEFAULT 16 MB scoped-VMEM
+            # stack, but the chip's real VMEM is >=120 MB (r5) and the
+            # limit is raised via CompilerParams, so every production width
+            # takes the single dot (fewer serialized MXU issues at tiny B).
+            if CW <= 2048:
                 return lax.dot_general(x_bf, wc8.astype(jnp.bfloat16),
                                        (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-            RS = 512
+            RS = 1024
             acc = jnp.zeros((B, CW), jnp.float32)
             for r0 in range(0, CW, RS):
                 acc = acc + lax.dot_general(
@@ -749,7 +753,10 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
     scratch_bytes = (B * D * 2 + WR * D * D + SMALL * 4 + 2 * B * D * 2
                      + 2 * KR * KV_BLK * B * D * 2 + 2 * NMNV * B * XIb * 2
                      + 4 * B * 128 * 4 + 2 * B * D * 2)
-    vmem_limit = min(max(scratch_bytes + (8 << 20), 16 << 20), 110 << 20)
+    # temp allowance: the int8->bf16 chunk convert (2*D^2) dominates SSA
+    # temps; 8 MB floor covers the attention intermediates at small D
+    vmem_limit = min(max(scratch_bytes + 2 * D * D + (8 << 20), 16 << 20),
+                     110 << 20)
     out, kc2, vc2 = pl.pallas_call(
         kern,
         grid=(L,),
@@ -811,19 +818,16 @@ def hashable_layout(layout: dict):
 
 
 def _ring_defaults(D: int, B: int):
-    """Per-shape DMA-ring depths (r5, VERDICT #1). The r4 depth-2 ping-pong
-    leaves ONE DMA outstanding, so every chunk wait pays the DMA grant
-    latency on top of the transfer — measured end-to-end as the
-    "issue/sync-bound at M=32" plateau. Deeper rings hide the latency at
-    the cost of VMEM ring slots (wr x D^2 int8 weight bytes, 2 x kr x
-    KV_BLK x B x D bf16 cache bytes); defaults measured on the headline
-    shape (bench.py ladder, BENCH.md r5). Env overrides FLAMINGO_MEGA_WR /
-    _KR / _KVBLK for A/B runs."""
+    """DMA-ring depths + cache-read block (r5, VERDICT #1). Measured on the
+    headline shape (BENCH.md r5 ladder): the depth-2 ping-pongs were NOT
+    the bottleneck (rings of 2/3/4/8 all read within run noise once the
+    cache-read block grew), the KV sync-point count was — KV_BLK 8 -> 16
+    is the whole 1.86 -> ~1.6 ms/step win, and deeper rings just spend
+    VMEM. Defaults stay at depth 2; env overrides FLAMINGO_MEGA_WR / _KR /
+    _KVBLK remain for A/B runs."""
     import os
-    wr = int(os.environ.get("FLAMINGO_MEGA_WR", "0")) or (4 if D <= 1024
-                                                          else 2)
-    kr = int(os.environ.get("FLAMINGO_MEGA_KR", "0")) or (4 if D <= 1024
-                                                          else 2)
+    wr = int(os.environ.get("FLAMINGO_MEGA_WR", "0")) or 2
+    kr = int(os.environ.get("FLAMINGO_MEGA_KR", "0")) or 2
     kv_blk = int(os.environ.get("FLAMINGO_MEGA_KVBLK", "0")) or None
     return wr, kr, kv_blk
 

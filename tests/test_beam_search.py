@@ -85,6 +85,25 @@ def test_beam_parity_vs_hf(gpt2_pair, eos_mode, num_beams):
     assert np.all(got[:, want_len:] == eos)
 
 
+def test_beam_flat_cache_matches_head_layout(gpt2_pair):
+    """The flat T-major beam path (ancestry-masked Pallas/XLA read over
+    unmoved cache rows, r5) is a layout change only: tokens and scores must
+    equal the head-layout lazy path bit-for-bit in PARITY mode."""
+    _, params, config = gpt2_pair
+    rs = np.random.RandomState(13)
+    input_ids = rs.randint(0, 100, (2, 4)).astype(np.int64)
+    outs = []
+    for flat in (True, False):
+        dc = DecodeConfig(max_length=14, eos_token_id=128, pad_token_id=128,
+                          num_beams=3, return_scores=True,
+                          flat_kv_cache=flat)
+        seq, sc = generate(params, config, jnp.asarray(input_ids),
+                           policy=PARITY, dc=dc)
+        outs.append((np.asarray(seq), np.asarray(sc)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+
+
 def test_beam_lazy_matches_gather(gpt2_pair):
     """Ancestor-indexed (lazy) reorder is a layout change only: tokens must
     equal the physical-gather path (and both equal HF via
