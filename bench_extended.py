@@ -217,8 +217,14 @@ def main():
     configs = {
         "1": ("flamingo-tiny greedy bs=32", tiny,
               dict(batch=32, prompt_len=4, decode_tokens=64)),
-        "2": ("flamingo-mini beam3 bs=32", mini,
-              dict(batch=32, prompt_len=4, decode_tokens=64, num_beams=3)),
+        "2": (f"flamingo-mini beam{os.environ.get('FLAMINGO_BENCH_BEAMS', '3')} bs=32",
+              mini,
+              dict(batch=32, prompt_len=4, decode_tokens=64,
+                   # FLAMINGO_BENCH_BEAMS: width A/Bs (e.g. beam-4, whose
+                   # families align with the kernel group without a 24-row
+                   # group) — r5 serving-recommendation ladder
+                   num_beams=int(os.environ.get("FLAMINGO_BENCH_BEAMS",
+                                                "3")))),
         "3": ("OPT-1.3B xattn_every=2 top-k bs=8", opt13,
               dict(batch=8, prompt_len=8, decode_tokens=64, do_sample=True,
                    top_k=50, repeats=2)),

@@ -384,14 +384,18 @@ def decode_attention_beam(
             q, k_cache, v_cache, anc, npad, cur, n_head=n_head, scale=scale,
             kb=kb, kv_limit=kv_limit)
 
+    # block rows: the greedy kernel's VMEM-budget heuristic (small blocks
+    # keep the live-prefix over-read low — r5 log: picking the largest
+    # divisor of max_len read the whole 128-row buffer per step at T=36
+    # and LOST 28 % end-to-end)
+    scratch_bytes = B * n_head * (D + 256) * 4
+    budget = (14 << 20) - scratch_bytes - (2 << 20)
+    block_t = max(8, budget // (4 * B * D * 2) // 8 * 8)
     blk = 8
-    for cand in (128, 64, 32, 16, 8):
-        if max_len % cand == 0:
+    for cand in (64, 32, 16, 8):
+        if cand <= block_t and max_len % cand == 0:
             blk = cand
             break
-    # keep the (GH, TG) score tile bounded (~2 MB f32 at G=24, blk=16)
-    while group * n_head * blk * group * 4 > (24 << 20) and blk > 8:
-        blk //= 2
     n_chunks = pl.cdiv(T, blk)
     t_pad = -(-max_len // 128) * 128   # lane-aligned resident ancestry width
 

@@ -754,8 +754,9 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
                      + 2 * KR * KV_BLK * B * D * 2 + 2 * NMNV * B * XIb * 2
                      + 4 * B * 128 * 4 + 2 * B * D * 2)
     # temp allowance: the int8->bf16 chunk convert (2*D^2) dominates SSA
-    # temps; 8 MB floor covers the attention intermediates at small D
-    vmem_limit = min(max(scratch_bytes + 2 * D * D + (8 << 20), 16 << 20),
+    # temps; 12 MB floor covers attention/LN intermediates (the compiler's
+    # stack accounting ran 276 KB past an 8 MB floor at D=2048 — r5 log)
+    vmem_limit = min(max(scratch_bytes + 2 * D * D + (12 << 20), 16 << 20),
                      110 << 20)
     out, kc2, vc2 = pl.pallas_call(
         kern,
