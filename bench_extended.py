@@ -83,12 +83,17 @@ def run_config(name, config, *, batch, prompt_len, decode_tokens, n_images=1,
     from flamingo_mini_tpu.ops import pallas_megadecode as _mega
     mega_env = os.environ.get("FLAMINGO_BENCH_MEGA", "1")
     use_mega = (mega_env != "0"
-                and num_beams == 1 and not int8_kv
+                and not int8_kv
                 and _mega.supports_arch(config.lm_arch)
                 and (isinstance(config.lm_arch, GPT2Arch)
                      or mega_env == "all")
                 and ("wte_q" in params["lm"]
                      or "embed_tokens_q" in params["lm"]))
+    # beams (r5): _beam_impl runs the megakernel trunk with the in-kernel
+    # ancestry mask when lcm(8, k) divides b*k, else silently keeps the
+    # per-layer path — the knob is safe to leave on
+    if num_beams > 1 and mega_env == "0":
+        use_mega = False
     dc = DecodeConfig(max_length=prompt_len + decode_tokens,
                       eos_token_id=vocab + 1, pad_token_id=0,
                       num_beams=num_beams, do_sample=do_sample, top_k=top_k,

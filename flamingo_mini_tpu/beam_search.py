@@ -110,8 +110,65 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
     mask_buf = _tile_beams(st["mask"], k)
     pos_next = _tile_beams(st["pos_next"], k)
     media_count = _tile_beams(st["media_count"], k)
-    decode_hook = flamingo.make_layer_hook(
-        params, config, xattn_kv, media_count, policy=policy)
+
+    # Whole-step megakernel for beams (r5): the flat-kernel beam attention
+    # only recovered ~7 % because the per-step cost had moved to the
+    # un-kernelized trunk (XLA linears re-streaming 0.5 GB of weights per
+    # step) — so run the SAME single-launch trunk the greedy path uses,
+    # with the ancestry mask applied inside its self-attention
+    # (ops/pallas_megadecode.py kb > 1). Full logits still come from the
+    # XLA head (beams consume the whole distribution).
+    use_mega = False
+    if dc.megakernel and flat_beam:
+        from .ops import pallas_megadecode as mega
+        from .ops.pallas_decode import beam_kernel_group
+        n_head_lm = mega.trunk_dims(config.lm_arch)[3]
+        use_mega = (mega.supports_arch(config.lm_arch)
+                    and ("wte_q" in lm or "embed_tokens_q" in lm)
+                    and beam_kernel_group(b * k, k, n_head_lm) > 0
+                    and (b * k) % 2 == 0)
+    if use_mega:
+        from .configuration_flamingo import GPT2Arch
+        from .models import gpt2 as _gpt2
+        from .models import opt as _opt
+        from .ops.layers import layer_norm as _layer_norm
+        from .ops.quant import embed_lookup
+        packed = mega.pack_decode_weights(params, config)
+        n_layer = mega.trunk_dims(config.lm_arch)[2]
+        xkf, xvf = mega.pack_xattn_kv_flat(xattn_kv, n_layer)
+        cache = {"kc": jnp.stack([c["kf"] for c in cache]),
+                 "vc": jnp.stack([c["vf"] for c in cache])}
+        npad0 = jnp.argmax(mask_buf, axis=-1).astype(jnp.int32)
+        decode_hook = None
+        arch = config.lm_arch
+
+        def mega_forward(tokens, mask_buf, cache, anc, cur, lim):
+            prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
+            pos = pos_next + (cur - 1 - L)
+            if isinstance(arch, GPT2Arch):
+                emb = embed_lookup(lm["wte_q"], prev_tok, policy.dtype)
+                x = (emb + lm["wpe"].astype(policy.dtype)[pos])[:, 0]
+            else:
+                emb = embed_lookup(lm["embed_tokens_q"], prev_tok,
+                                   policy.dtype)
+                x = (emb + lm["embed_positions"].astype(
+                    policy.dtype)[pos + _opt.POS_OFFSET])[:, 0]
+            hidden, kc, vc = mega.decode_step_megakernel(
+                packed, xkf, xvf, cache["kc"], cache["vc"], x, npad0,
+                media_count, cur - 1, config=config, kv_limit=lim,
+                act_quant=dc.w8a8, beam_anc=anc)
+            if isinstance(arch, GPT2Arch):
+                h = _layer_norm(hidden[:, None, :], lm["ln_f"],
+                                arch.layer_norm_epsilon)
+                logits = _gpt2.lm_head(lm, h, policy)
+            else:
+                h = _layer_norm(hidden[:, None, :], lm["final_ln"],
+                                arch.layer_norm_epsilon)
+                logits = _opt.lm_head(lm, h, policy)
+            return logits, {"kc": kc, "vc": vc}
+    else:
+        decode_hook = flamingo.make_layer_hook(
+            params, config, xattn_kv, media_count, policy=policy)
 
     run_scores = jnp.full((b, k), NEG).at[:, 0].set(0.0)
     fin_seq = jnp.full((b, k, max_len), dc.pad_token_id, jnp.int32)
@@ -278,13 +335,18 @@ def _beam_impl(params, config: FlamingoConfig, dc, policy: Policy,
         def body(carry):
             state, _hits, cur = carry
             tokens, mask_buf, cache = state[0], state[1], state[2]
-            prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1, axis=1)
-            logits, cache = flamingo.apply_lm(
-                params, config, prev_tok, policy=policy,
-                layer_hook=decode_hook, attention_mask=mask_buf,
-                position_ids=pos_next + (cur - 1 - L),
-                cache=cache, cache_index=cur - 1, kv_limit=lim,
-                beam_anc=state[8] if lazy else None)
+            if use_mega:
+                logits, cache = mega_forward(tokens, mask_buf, cache,
+                                             state[8], cur, lim)
+            else:
+                prev_tok = lax.dynamic_slice_in_dim(tokens, cur - 1, 1,
+                                                    axis=1)
+                logits, cache = flamingo.apply_lm(
+                    params, config, prev_tok, policy=policy,
+                    layer_hook=decode_hook, attention_mask=mask_buf,
+                    position_ids=pos_next + (cur - 1 - L),
+                    cache=cache, cache_index=cur - 1, kv_limit=lim,
+                    beam_anc=state[8] if lazy else None)
             # HF beam mode applies the processor chain to the POST-log_softmax
             # scores (generation/utils.py _beam_search), unlike greedy/sample
             # mode where it runs on raw logits — match that exactly; the

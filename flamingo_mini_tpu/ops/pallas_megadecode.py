@@ -313,7 +313,7 @@ def pack_xattn_kv_flat(xattn_kv: Dict[str, Tuple], n_layer: int):
 
 def _grouped_attention(q_bf, stream_k, stream_v, n_chunks, chunk_rows,
                        n_head, dh, scale, valid_fn, B,
-                       round_scores: bool = False):
+                       round_scores: bool = False, group: int = 0):
     """Grouped cross-batch masked attention (the ops/pallas_decode v3 form)
     over chunked (rows, B, D) K/V streams delivered by ``stream_k/v(j)``
     (each returns the j-th (chunk_rows, B, D) bf16 block, blocking).
@@ -324,9 +324,13 @@ def _grouped_attention(q_bf, stream_k, stream_v, n_chunks, chunk_rows,
     accumulator and (B, n_head) l-sums — caller divides.
     """
     D = q_bf.shape[1]
-    G = max(1, 128 // n_head)
-    while B % G:
-        G -= 1
+    if group:
+        G = group             # caller-constrained (beam families, r5)
+        assert B % G == 0, (B, G)
+    else:
+        G = max(1, 128 // n_head)
+        while B % G:
+            G -= 1
     GH, TG = G * n_head, chunk_rows * G
     selT = jnp.where(
         (lax.broadcasted_iota(jnp.int32, (n_head, D), 1) // dh)
@@ -385,7 +389,7 @@ def _eff_wr(wr: int, nx: int, ragged: bool) -> int:
 
 def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                   B, T, NMNV, act, xact, act_quant=False, wr=2, kr=2,
-                  kv_blk=None):
+                  kv_blk=None, kb=1, t_pad=128):
     NC = layout["n_chunks"]
     D = layout["D"]
     CW = D                      # chunk width == n_embd (see packing notes)
@@ -404,7 +408,8 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
     WR = _eff_wr(WR, NX, RAGGED)
 
     def kernel(cur_ref, gates_ref, wbase_ref, hasx_ref, npad_ref, tt_ref,
-               x_ref, w_ref, small_ref, xk_ref, xv_ref, kc_in, vc_in,
+               anc_ref, x_ref, w_ref, small_ref, xk_ref, xv_ref, kc_in,
+               vc_in,
                o_ref, kc_out, vc_out,
                xbuf, wbuf, smallb, kvrow, krd, vrd, xkb, xvb,
                wsem, ssem, rowsem, kvsem, xsem):
@@ -420,6 +425,13 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
         @pl.when(l == 0)
         def _():
             xbuf[...] = x_ref[...]
+            # sanitize the KV read rings once per step: live-prefix gating
+            # skips dead chunks' DMAs, and UNINITIALIZED VMEM can hold NaN
+            # bit patterns that poison the masked V dot (0 * NaN). After
+            # this, any stale slot content is finite real cache data, which
+            # the t<=cur mask zeroes exactly.
+            krd[...] = jnp.zeros_like(krd)
+            vrd[...] = jnp.zeros_like(vrd)
 
         # ---- per-layer smalls + first weight chunk ----------------------
         sdma = pltpu.make_async_copy(small_ref.at[l], smallb, ssem)
@@ -645,10 +657,21 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                 src.at[l].at[pl.ds(j * KV_BLK, KV_BLK)],
                 buf.at[slot], kvsem.at[sem_base + slot])
 
+        # live-prefix chunk gating (r5): within a prefix_block segment, cur
+        # trails kv_limit by up to a block, so chunks past cur would stream
+        # dead rows (~17 % of KV bytes on average). Gate each chunk's DMA
+        # on (j*KV_BLK <= cur) — the gate is identical at start and wait
+        # time, so every started DMA is waited; the attention compute still
+        # runs over the (stale) buffer and its entries mask to exact 0.
+        def kv_live(j):
+            return j * KV_BLK <= cur
+
         # prime both KV-read rings (KR-1 chunk DMAs in flight per stream)
         for j in range(min(KR - 1, n_kv_chunks)):
-            kv_dma(krd, kc_out, j, j, 0).start()
-            kv_dma(vrd, vc_out, j, j, KR).start()
+            @pl.when(kv_live(j))
+            def _(j=j):
+                kv_dma(krd, kc_out, j, j, 0).start()
+                kv_dma(vrd, vc_out, j, j, KR).start()
         if KR == 1:
             kv_dma(krd, kc_out, 0, 0, 0).start()
             kv_dma(vrd, vc_out, 0, 0, KR).start()
@@ -657,25 +680,61 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
         def stream(buf, src, sem_base):
             def get(j):
                 slot = j % KR
-                if j + KR - 1 < n_kv_chunks and KR > 1:
-                    kv_dma(buf, src, (j + KR - 1) % KR, j + KR - 1,
-                           sem_base).start()
-                kv_dma(buf, src, slot, j, sem_base).wait()
+                nxt = j + KR - 1
+                if nxt < n_kv_chunks and KR > 1:
+                    @pl.when(kv_live(nxt))
+                    def _():
+                        kv_dma(buf, src, nxt % KR, nxt, sem_base).start()
+                if j == 0 and KR > 1:
+                    kv_dma(buf, src, 0, 0, sem_base).wait()
+                else:
+                    @pl.when(kv_live(j))
+                    def _():
+                        kv_dma(buf, src, slot, j, sem_base).wait()
                 return buf[slot]
             return get
 
         def a_valid(j, g, rows_i, cols_i):
             G = rows_i.shape[0] // n_head
             sl = slice(g * G, (g + 1) * G)
-            same_b = (rows_i // n_head) == (cols_i % G)
             t_pos = j * KV_BLK + cols_i // G
             npg = jnp.broadcast_to(
                 npad[sl][:, None, :], (G, n_head, 1)).reshape(G * n_head, 1)
-            return same_b & (t_pos >= npg) & (t_pos <= cur)
+            bounds = (t_pos >= npg) & (t_pos <= cur)
+            if kb == 1:
+                same_b = (rows_i // n_head) == (cols_i % G)
+                return same_b & bounds
+            # lazy-beam ancestry (r5): logical beam row r attends physical
+            # row c of its kb-family at position t iff anc[r, t] == c % kb.
+            # The per-element lookup anc[r, t(c)] is computed EXACTLY on
+            # the MXU via a 0/1 selection matrix (see
+            # ops/pallas_decode._decode_kernel_beam — anc values are tiny
+            # integers, one 1.0 per column).
+            GH, TG = rows_i.shape
+            fam_ok = ((rows_i // n_head) // kb) == ((cols_i % G) // kb)
+            a_gh = jnp.broadcast_to(
+                anc_ref[sl][:, None, :].astype(jnp.bfloat16),
+                (G, n_head, t_pad)).reshape(GH, t_pad)
+            w_rows = lax.broadcasted_iota(jnp.int32, (t_pad, TG), 0)
+            w_cols = lax.broadcasted_iota(jnp.int32, (t_pad, TG), 1)
+            W2 = jnp.where(w_rows == j * KV_BLK + w_cols // G,
+                           1.0, 0.0).astype(jnp.bfloat16)
+            anc_elem = lax.dot_general(a_gh, W2, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            col_beam = ((cols_i % G) % kb).astype(jnp.float32)
+            return fam_ok & (anc_elem == col_beam) & bounds
 
+        if kb > 1:
+            # beam families must not straddle groups, and Mosaic slices the
+            # cache's sublane (batch) dim only at 8-multiples
+            import math
+            a_group = (8 * kb) // math.gcd(8, kb)
+        else:
+            a_group = 0
         att = _grouped_attention(
             ql, stream(krd, kc_out, 0), stream(vrd, vc_out, KR),
-            n_kv_chunks, KV_BLK, n_head, dh, dh ** -0.5, a_valid, B)
+            n_kv_chunks, KV_BLK, n_head, dh, dh ** -0.5, a_valid, B,
+            group=a_group)
         ao = mm_cols(att.astype(jnp.bfloat16), "o", 1, bias_name="b_o",
                      bias_width=CW)[0]
         x = x + ao
@@ -696,11 +755,12 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "xattn_heads", "n_visual", "kv_limit", "layout_key", "act_name",
-    "xact_name", "act_quant", "interpret", "wr", "kr", "kv_blk"))
-def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
-               xv, kc, vc, *,
+    "xact_name", "act_quant", "interpret", "wr", "kr", "kv_blk", "kb"))
+def _mega_call(cur, gates, wbase, hasx, npad, text_time, anc, x, w8, small,
+               xk, xv, kc, vc, *,
                n_head, xattn_heads, n_visual, kv_limit, layout_key, act_name,
-               xact_name, act_quant, interpret, wr=2, kr=2, kv_blk=None):
+               xact_name, act_quant, interpret, wr=2, kr=2, kv_blk=None,
+               kb=1):
     layout = dict(layout_key)
     layout["offs"] = dict(layout["offs"])
     layout["soffs"] = dict(layout["soffs"])
@@ -734,10 +794,20 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
     act = _kernel_act(act_name)
     xact = _kernel_act(xact_name)
 
+    t_pad = -(-T // 128) * 128 if kb > 1 else 128
     kern = _build_kernel(n_head=n_head, xattn_heads=xattn_heads,
                          n_visual=n_visual, kv_limit=kv_limit, layout=layout,
                          B=B, T=T, NMNV=NMNV, act=act, xact=xact,
-                         act_quant=act_quant, wr=wr, kr=kr, kv_blk=kv_blk)
+                         act_quant=act_quant, wr=wr, kr=kr, kv_blk=kv_blk,
+                         kb=kb, t_pad=t_pad)
+    if kb > 1:
+        bq = B // kb
+        anc_v = jnp.pad(anc.reshape(B, anc.shape[-1]).astype(jnp.int32),
+                        ((0, 0), (0, max(0, t_pad - anc.shape[-1]))))
+        anc_v = anc_v[:, :t_pad]
+        del bq
+    else:
+        anc_v = jnp.zeros((B, 128), jnp.int32)
     KV_BLK = kv_blk if kv_blk is not None else _kv_blk(D)
     WR = _eff_wr(min(wr, NC), layout["NX"], bool(layout.get("ragged")))
     n_kv_chunks = -(-min(kv_limit, T) // KV_BLK)
@@ -753,10 +823,11 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
     scratch_bytes = (B * D * 2 + WR * D * D + SMALL * 4 + 2 * B * D * 2
                      + 2 * KR * KV_BLK * B * D * 2 + 2 * NMNV * B * XIb * 2
                      + 4 * B * 128 * 4 + 2 * B * D * 2)
-    # temp allowance: the int8->bf16 chunk convert (2*D^2) dominates SSA
-    # temps; 12 MB floor covers attention/LN intermediates (the compiler's
-    # stack accounting ran 276 KB past an 8 MB floor at D=2048 — r5 log)
-    vmem_limit = min(max(scratch_bytes + 2 * D * D + (12 << 20), 16 << 20),
+    # temp allowance: the compiler's live SSA stack holds several chunk-
+    # convert-sized (2*D^2 bf16) values at once around the wide dots
+    # (measured demand at D=2048: 52 MB against scratch ~11.5 MB — r5 log),
+    # plus a 12 MB floor for attention/LN intermediates at small D
+    vmem_limit = min(max(scratch_bytes + 10 * D * D + (12 << 20), 16 << 20),
                      110 << 20)
     out, kc2, vc2 = pl.pallas_call(
         kern,
@@ -768,6 +839,7 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # hasx
             pl.BlockSpec(memory_space=pltpu.VMEM),   # npad
             pl.BlockSpec(memory_space=pltpu.VMEM),   # text_time
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # anc (beam ancestry)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x
             pl.BlockSpec(memory_space=pltpu.HBM),    # w8
             pl.BlockSpec(memory_space=pltpu.HBM),    # small (ANY could
@@ -787,7 +859,7 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ],
-        input_output_aliases={11: 1, 12: 2},
+        input_output_aliases={12: 1, 13: 2},
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.bfloat16),              # xbuf
             pltpu.VMEM((WR, D, D), jnp.int8),              # wbuf ring
@@ -806,7 +878,7 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, x, w8, small, xk,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(jnp.reshape(cur, (1,)).astype(jnp.int32), gates, wbase, hasx,
-      npad_v, tt_v, x, w8, small, xk, xv, kc, vc)
+      npad_v, tt_v, anc_v, x, w8, small, xk, xv, kc, vc)
     return out, kc2, vc2
 
 
@@ -835,10 +907,15 @@ def _ring_defaults(D: int, B: int):
 
 def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
                            cur, *, config, kv_limit, act_quant=False,
-                           interpret=None):
+                           interpret=None, beam_anc=None):
     """One decode step through the megakernel. Returns (hidden (b, D) bf16,
     new kc, new vc). Caches are donated/aliased. ``act_quant`` switches the
-    trunk linears to the w8a8 tier (per-row int8 activations, int8 MXU)."""
+    trunk linears to the w8a8 tier (per-row int8 activations, int8 MXU).
+
+    ``beam_anc`` ((b, kb, max_len) int32, r5): lazy-beam decode — rows come
+    in kb-sized families and the self-attention applies the ancestry table
+    as an in-kernel mask over the family's unmoved cache rows (the
+    engine-side permutation never touches HBM). Requires lcm(8, kb) | B."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     arch = config.lm_arch
@@ -846,13 +923,16 @@ def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
     kv_limit = min(kv_limit if kv_limit is not None else kc.shape[1],
                    kc.shape[1])
     wr, kr, kv_blk = _ring_defaults(_D, kc.shape[2])
+    kb = 1 if beam_anc is None else int(beam_anc.shape[1])
+    anc = (jnp.zeros((kc.shape[2], 128), jnp.int32) if beam_anc is None
+           else beam_anc)
     return _mega_call(
         cur, packed["gates"], packed["wbase"], packed["hasx"], npad,
-        text_time, x_emb, packed["w8"],
+        text_time, anc, x_emb, packed["w8"],
         packed["small"], xk, xv,
         kc, vc, n_head=n_head, xattn_heads=config.xattn_heads,
         n_visual=config.resampler_num_latents, kv_limit=kv_limit,
         layout_key=hashable_layout(packed["layout"]),
         act_name=arch.activation, xact_name=config.xattn_act,
         act_quant=act_quant, interpret=interpret, wr=wr, kr=kr,
-        kv_blk=kv_blk)
+        kv_blk=kv_blk, kb=kb)

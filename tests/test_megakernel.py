@@ -119,6 +119,36 @@ def test_megakernel_odd_batch_sampling_falls_back(wide_model):
     np.testing.assert_array_equal(base, mega)
 
 
+def test_megakernel_beam_matches_engine(wide_model):
+    """Beam search through the megakernel (r5: ancestry-masked in-kernel
+    self-attention, full-logits XLA head) must produce the same hypotheses
+    and scores as the non-mega flat beam path. b*k = 24 = lcm(8, 3), the
+    kernel-group-aligned shape."""
+    m = wide_model
+    ids, media, mask, feats = _inputs(b=8, seed=31)
+    kw = dict(media_locations=media, attention_mask=mask,
+              visual_features=feats, max_length=14, eos_token_id=9999,
+              pad_token_id=0, num_beams=3, return_scores=True)
+    base, base_sc = m.generate(ids, megakernel=False, **kw)
+    mega, mega_sc = m.generate(ids, megakernel=True, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(mega))
+    np.testing.assert_allclose(np.asarray(mega_sc), np.asarray(base_sc),
+                               atol=2e-2)
+
+
+def test_megakernel_beam_misaligned_falls_back(wide_model):
+    """b*k not divisible by lcm(8, kb): _beam_impl keeps the per-layer
+    path; tokens still equal the engine."""
+    m = wide_model
+    ids, media, mask, feats = _inputs(b=2, seed=32)   # 6 rows: 24 ∤ 6
+    kw = dict(media_locations=media, attention_mask=mask,
+              visual_features=feats, max_length=14, eos_token_id=9999,
+              pad_token_id=0, num_beams=3)
+    base = np.asarray(m.generate(ids, megakernel=False, **kw))
+    mega = np.asarray(m.generate(ids, megakernel=True, **kw))
+    np.testing.assert_array_equal(base, mega)
+
+
 def test_w8a8_requires_megakernel(wide_model):
     ids, media, mask, feats = _inputs()
     with pytest.raises(ValueError, match="megakernel"):
