@@ -14,19 +14,26 @@ double-buffered VMEM ping-pong and the KV caches read/written by manual
 async DMA at dynamic positions. Embedding lookup and the lm_head/argmax
 stay in XLA (two ops, already at roofline).
 
-Restrictions (the greedy fast path; generation.py falls back otherwise):
+Restrictions (the decode fast path; generation.py falls back otherwise):
 int8 weights (ops/quant layout), n_embd a multiple of 128 lanes (768 for
 GPT-2 base, 1024 for gpt2-medium, ...), bf16 compute, single device,
 xattn K/V in bf16, n_media * n_visual latents fitting one VMEM block.
+Greedy/sample rows are independent; BEAMS (r5) run the same kernel with
+rows in kb-sized families and the lazy-reorder ancestry table applied as
+an in-kernel self-attention mask (beam_search._beam_impl packs it in;
+needs lcm(8, kb) | batch rows).
 
 Layout contracts (pack_decode_weights / pack_xattn_kv_flat):
-* weights: ONE (n_layer, N_CHUNKS, D, D) int8 array; every matrix is
+* weights: ONE flat (TOTAL_CHUNKS, D, D) int8 array; every matrix is
   padded into D x D chunks (zero row-padding contracts against
   zero-padded activation columns — exact; zero col-padding produces
   outputs that are either sliced away or multiplied by zero downstream).
-  Layers without a gated-xattn block carry zero xattn chunks AND zero
-  tanh-gates, so the unconditionally-executed xattn phases are an exact
-  no-op there (no divergent chunk schedule).
+  The schedule is RAGGED (r5): layers without a gated-xattn block pack
+  no xattn chunks at all, and the kernel gates the whole xattn phase
+  (weight chunks, K/V DMAs AND compute) on a per-layer SMEM table,
+  addressing chunks through per-layer base offsets — non-xattn layers
+  stream zero xattn bytes (r4 streamed NX zero chunks: +33 % weight
+  traffic at xattn_every=2).
 * per-layer smalls (LN params, biases, per-chunk quant scales, gates):
   one (n_layer, SMALL) f32 array, ONE DMA per layer, static offsets.
 * caches: stacked T-major (n_layer, T, b, D) bf16, aliased in/out; the
