@@ -226,19 +226,37 @@ def main():
             p, _s, lossN = lax.fori_loop(0, steps, body, (p, s, loss0))
             return p, loss0, lossN
 
+        # Measure the random-init floor BEFORE training so the fp32 params
+        # buffer can be DONATED into the training program: params + AdamW
+        # moments + transient grads brush the HBM limit at this scale
+        # (ResourceExhausted observed r5 without donation).
+        result["random_init"] = measure(params, w8a8=args.w8a8)
         # params enter as ARGUMENTS (700 MB closure constants stall
         # compilation; see the memory note above)
         trained, loss0, lossN = jax.jit(
-            train_n, static_argnames=("steps",))(params, steps=args.train_steps)
+            train_n, static_argnames=("steps",),
+            donate_argnums=(0,))(params, steps=args.train_steps)
+        del params
         result["training"] = {"steps": args.train_steps,
                               "first_loss": round(float(loss0), 4),
                               "last_loss": round(float(lossN), 4)}
-        result["random_init"] = measure(params)
-        del params
-        result["after_training"] = measure(trained)
+        result["after_training"] = measure(trained, w8a8=args.w8a8)
         result["weights"] = ("headline scale (gpt2-medium shape), trained "
                              "on synthetic batches to sharp margins")
         print(json.dumps(result, indent=2))
+        if args.w8a8:
+            # with --w8a8 the pair reports are keyed per system pair; file
+            # the trained-weights evidence next to the random-init floor in
+            # BENCH_FIDELITY_W8A8.json (VERDICT r4 item 5)
+            wpath = os.path.join(REPO, "BENCH_FIDELITY_W8A8.json")
+            wexisting = {}
+            if os.path.isfile(wpath):
+                with open(wpath) as f:
+                    wexisting = json.load(f)
+            wexisting["trained_headline_scale"] = result
+            with open(wpath, "w") as f:
+                json.dump(wexisting, f, indent=2)
+            return 0
         path = os.path.join(REPO, "BENCH_FIDELITY_TRAINED.json")
         existing = {}
         if os.path.isfile(path):
