@@ -900,13 +900,15 @@ def hashable_layout(layout: dict):
 def _ring_defaults(D: int, B: int):
     """DMA-ring depths + cache-read block (r5, VERDICT #1). Measured on the
     headline shape (BENCH.md r5 ladder): the depth-2 ping-pongs were NOT
-    the bottleneck (rings of 2/3/4/8 all read within run noise once the
+    the main bottleneck (rings of 2/3/4/8 all read within a few % once the
     cache-read block grew), the KV sync-point count was — KV_BLK 8 -> 16
-    is the whole 1.86 -> ~1.6 ms/step win, and deeper rings just spend
-    VMEM. Defaults stay at depth 2; env overrides FLAMINGO_MEGA_WR / _KR /
-    _KVBLK remain for A/B runs."""
+    is the whole 1.86 -> ~1.6 ms/step win, and 4+-deep rings just spend
+    VMEM. The weight ring default is 3: a paired idle-host A/B read
+    WR=3 >= WR=2 in every comparison (pooled ~+2 captions/s, one extra
+    in-flight chunk DMA for +D*D bytes of VMEM); KR deeper than 2 never
+    paid. Env overrides FLAMINGO_MEGA_WR / _KR / _KVBLK remain for A/B."""
     import os
-    wr = int(os.environ.get("FLAMINGO_MEGA_WR", "0")) or 2
+    wr = int(os.environ.get("FLAMINGO_MEGA_WR", "0")) or 3
     kr = int(os.environ.get("FLAMINGO_MEGA_KR", "0")) or 2
     kv_blk = int(os.environ.get("FLAMINGO_MEGA_KVBLK", "0")) or None
     return wr, kr, kv_blk

@@ -341,6 +341,59 @@ def test_megakernel_768_wide():
     np.testing.assert_array_equal(base, mega)
 
 
+@pytest.fixture(scope="module")
+def dense_model():
+    """xattn_every=1 — the NON-ragged packing (every layer streams xattn
+    chunks), the headline flamingo-mini topology. The ragged `wide_model`
+    degrades the weight ring via _eff_wr (NX % WR parity); this fixture
+    exercises the ring at its full requested depth."""
+    cfg = FlamingoConfig(
+        lm="gpt2", dim=1024, dim_visual=64, xattn_every=1, xattn_dim_head=64,
+        xattn_heads=8, resampler_depth=1, resampler_dim_head=16,
+        resampler_heads=4, resampler_num_latents=8,
+        compute_dtype="bfloat16",
+        lm_arch_overrides=WIDE_LM, vision_arch_overrides=TINY_VIT)
+    m = FlamingoModel(cfg, rng=jax.random.PRNGKey(2), with_vision=False)
+    from flamingo_mini_tpu.ops.quant import (cast_params_bf16,
+                                             quantize_gpt2_lm,
+                                             quantize_xattn_blocks)
+    m.params["lm"] = quantize_gpt2_lm(m.params["lm"])
+    m.params["xattn"] = quantize_xattn_blocks(m.params["xattn"])
+    m.params = cast_params_bf16(m.params)
+    for blk in m.params["xattn"].values():
+        blk["alpha_attn"] = jnp.full_like(blk["alpha_attn"], 0.5)
+        blk["alpha_ffw"] = jnp.full_like(blk["alpha_ffw"], 0.3)
+    return m
+
+
+def test_megakernel_nonragged_ring_depths(dense_model, monkeypatch):
+    """Weight-ring depth is a DMA-scheduling knob, not a numerics knob:
+    on the non-ragged packing (where _eff_wr does not degrade the depth)
+    the megakernel's greedy tokens must be BITWISE identical at WR=2/3/4
+    on the same inputs (r5 ships WR=3 by default — BENCH.md ring A/B).
+    FLAMINGO_MEGA_WR is read at trace time, so the jit caches are cleared
+    between depths to force the retrace that makes the override take
+    effect in-process. The engine comparison is thresholded (the fc2
+    chunked-accumulation association envelope can flip random-init
+    argmax near-ties — see test_megakernel_prefix_block_and_no_media);
+    a ring-slot indexing bug would collapse agreement to ~chance."""
+    m = dense_model
+    ids, media, mask, feats = _inputs(seed=31)
+    kw = dict(media_locations=media, attention_mask=mask,
+              visual_features=feats, max_length=16, eos_token_id=9999,
+              pad_token_id=0)
+    base = np.asarray(m.generate(ids, megakernel=False, **kw))
+    outs = {}
+    for wr in (2, 3, 4):
+        monkeypatch.setenv("FLAMINGO_MEGA_WR", str(wr))
+        jax.clear_caches()
+        outs[wr] = np.asarray(m.generate(ids, megakernel=True, **kw))
+    np.testing.assert_array_equal(outs[2], outs[3])
+    np.testing.assert_array_equal(outs[2], outs[4])
+    agree = (base == outs[3]).mean()
+    assert agree >= 0.75, f"megakernel/engine agreement: {agree:.3f}"
+
+
 def test_megakernel_prefix_block_and_no_media(wide_model):
     """prefix_block is a pure layout change — megakernel tokens must be
     BITWISE equal with and without it. The engine comparison is
