@@ -394,9 +394,30 @@ def _eff_wr(wr: int, nx: int, ragged: bool) -> int:
     return wr
 
 
+def _ring_shape(wr: int, wb: int, nc: int, nx: int, ragged: bool):
+    """Resolve the weight-stream ring geometry -> (WB, WRB, WROWS).
+
+    ``wb > 1`` groups wb CONTIGUOUS chunks into ONE DMA + ONE semaphore
+    wait (the same sync-point-halving lever as KV_BLK on the cache reads,
+    which bought ~0.25 ms/step in r5). Block mode requires the runtime-
+    gated xattn/trunk boundary and the total count to be block-aligned
+    (NX % wb == 0, NC % wb == 0) — otherwise it falls back to wb=1. The
+    ragged slot-parity constraint moves to block granularity: the first
+    trunk block (NX/wb) must land on slot 0, so (NX/wb) % WRB == 0.
+    WROWS is the wbuf scratch row count (WRB ring slots of wb chunks)."""
+    if wb > 1 and (nx % wb or nc % wb):
+        wb = 1
+    if wb == 1:
+        wrb = _eff_wr(min(wr, nc), nx, ragged)
+        return 1, wrb, wrb
+    nb = nc // wb
+    wrb = _eff_wr(min(wr, nb), nx // wb, ragged)
+    return wb, wrb, wrb * wb
+
+
 def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
                   B, T, NMNV, act, xact, act_quant=False, wr=2, kr=2,
-                  kv_blk=None, kb=1, t_pad=128):
+                  kv_blk=None, kb=1, t_pad=128, wb=1):
     NC = layout["n_chunks"]
     D = layout["D"]
     CW = D                      # chunk width == n_embd (see packing notes)
@@ -408,11 +429,11 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
     xdh = XI // xattn_heads
     KV_BLK = kv_blk if kv_blk is not None else _kv_blk(D)
     n_kv_chunks = -(-kv_limit // KV_BLK)
-    WR = min(wr, NC)            # weight-ring slots (WR-1 DMAs in flight)
     KR = min(kr, max(n_kv_chunks, 1))  # KV-read ring slots per stream
     RAGGED = bool(layout.get("ragged"))
     NX = layout["NX"]           # xattn chunks per xattn layer (even)
-    WR = _eff_wr(WR, NX, RAGGED)
+    WB, WR, WROWS = _ring_shape(wr, wb, NC, NX, RAGGED)
+    NB = NC // WB               # weight blocks per (uniform) layer
 
     def kernel(cur_ref, gates_ref, wbase_ref, hasx_ref, npad_ref, tt_ref,
                anc_ref, x_ref, w_ref, small_ref, xk_ref, xv_ref, kc_in,
@@ -444,25 +465,29 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
         sdma = pltpu.make_async_copy(small_ref.at[l], smallb, ssem)
         sdma.start()
 
-        def wdma(slot, c):
+        def wdma(slot, c, n=1):
+            # n chunks are contiguous both in HBM (flat packing) and in the
+            # wbuf ring (block slots span n rows), so a block is ONE copy
             return pltpu.make_async_copy(
-                w_ref.at[pl.ds(base_w + c - shift, 1)],
-                wbuf.at[pl.ds(slot, 1)], wsem.at[slot])
+                w_ref.at[pl.ds(base_w + c - shift, n)],
+                wbuf.at[pl.ds(slot, n)], wsem.at[slot // WB])
 
-        def wdma_prime(slot, j):
+        def wdma_prime(slot, j, n=1):
             # the first consumed chunks are physical base_w + j regardless of
             # has_x (xattn locals j, or trunk locals NX + j shifted by NX) and
-            # land in slot j either way (NX % WR == 0)
+            # land in slot j either way (NX % WR == 0; block mode:
+            # (NX/WB) % WR == 0 — _ring_shape)
             return pltpu.make_async_copy(
-                w_ref.at[pl.ds(base_w + j, 1)],
-                wbuf.at[pl.ds(slot, 1)], wsem.at[slot])
+                w_ref.at[pl.ds(base_w + j, n)],
+                wbuf.at[pl.ds(slot, n)], wsem.at[slot // WB])
 
-        # prime the weight ring: WR-1 chunk DMAs in flight before the first
-        # consume (a depth-2 ping-pong leaves only ONE outstanding, so every
-        # wait eats the DMA grant latency on top of the transfer — the r4
-        # "issue/sync-bound at M=32" signature; deeper rings hide it)
+        # prime the weight ring: WR-1 chunk (or WB-chunk block) DMAs in
+        # flight before the first consume (a depth-2 ping-pong leaves only
+        # ONE outstanding, so every wait eats the DMA grant latency on top
+        # of the transfer — the r4 "issue/sync-bound at M=32" signature;
+        # deeper rings hide it)
         for j in range(WR - 1):
-            wdma_prime(j, j).start()
+            wdma_prime(j * WB, j * WB, WB).start()
         # xattn K/V: single-shot DMAs, overlap with the weight stream
         # (skipped entirely on ragged non-xattn layers)
         xkd = pltpu.make_async_copy(xk_ref.at[l], xkb, xsem.at[0])
@@ -477,16 +502,33 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
             xvd.start()
         sdma.wait()
 
-        state = {"c": 0}
+        state = {"c": 0, "sb": WR - 1}   # c: next chunk; sb: next block start
 
         def next_chunk():
             c = state["c"]
-            slot = c % WR
-            if c + WR - 1 < NC:
-                wdma((c + WR - 1) % WR, c + WR - 1).start()
-            wdma(slot, c).wait()
+            if WB == 1:
+                slot = c % WR
+                if c + WR - 1 < NC:
+                    wdma((c + WR - 1) % WR, c + WR - 1).start()
+                wdma(slot, c).wait()
+                state["c"] = c + 1
+                return wbuf[slot]
+            # block mode: one DMA + one wait per WB contiguous chunks. The
+            # top-up is DEFERRED to the block head (never started between a
+            # block's wait and its chunks' dots, so no DMA ever targets rows
+            # a pending dot still reads); the bound blk + WR keeps every
+            # started block's slot occupant fully consumed (its last chunk
+            # index < blk*WB), exactly the WB=1 schedule's capacity.
+            blk, off = divmod(c, WB)
+            srow = (blk % WR) * WB
+            if off == 0:
+                while state["sb"] < min(blk + WR, NB):
+                    sb = state["sb"]
+                    wdma((sb % WR) * WB, sb * WB, WB).start()
+                    state["sb"] = sb + 1
+                wdma(srow, blk * WB, WB).wait()
             state["c"] = c + 1
-            return wbuf[slot]
+            return wbuf[srow + off]
 
         def sget(name, n):
             return smallb[:, offs[name]:offs[name] + n]     # (1, n) f32
@@ -762,12 +804,13 @@ def _build_kernel(*, n_head, xattn_heads, n_visual, kv_limit, layout,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_head", "xattn_heads", "n_visual", "kv_limit", "layout_key", "act_name",
-    "xact_name", "act_quant", "interpret", "wr", "kr", "kv_blk", "kb"))
+    "xact_name", "act_quant", "interpret", "wr", "kr", "kv_blk", "kb",
+    "wb"))
 def _mega_call(cur, gates, wbase, hasx, npad, text_time, anc, x, w8, small,
                xk, xv, kc, vc, *,
                n_head, xattn_heads, n_visual, kv_limit, layout_key, act_name,
                xact_name, act_quant, interpret, wr=2, kr=2, kv_blk=None,
-               kb=1):
+               kb=1, wb=1):
     layout = dict(layout_key)
     layout["offs"] = dict(layout["offs"])
     layout["soffs"] = dict(layout["soffs"])
@@ -806,7 +849,7 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, anc, x, w8, small,
                          n_visual=n_visual, kv_limit=kv_limit, layout=layout,
                          B=B, T=T, NMNV=NMNV, act=act, xact=xact,
                          act_quant=act_quant, wr=wr, kr=kr, kv_blk=kv_blk,
-                         kb=kb, t_pad=t_pad)
+                         kb=kb, t_pad=t_pad, wb=wb)
     if kb > 1:
         bq = B // kb
         anc_v = jnp.pad(anc.reshape(B, anc.shape[-1]).astype(jnp.int32),
@@ -816,7 +859,8 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, anc, x, w8, small,
     else:
         anc_v = jnp.zeros((B, 128), jnp.int32)
     KV_BLK = kv_blk if kv_blk is not None else _kv_blk(D)
-    WR = _eff_wr(min(wr, NC), layout["NX"], bool(layout.get("ragged")))
+    _, WR, WROWS = _ring_shape(wr, wb, NC, layout["NX"],
+                               bool(layout.get("ragged")))
     n_kv_chunks = -(-min(kv_limit, T) // KV_BLK)
     KR = min(kr, max(n_kv_chunks, 1))
     npad_v = jnp.broadcast_to(npad.astype(jnp.int32)[:, None], (B, 128))
@@ -827,7 +871,7 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, anc, x, w8, small,
     # scratch buffers + an 8 MB allowance for SSA temps (the int8→bf16 chunk
     # convert alone is 2·D² bytes) so deep DMA rings compile.
     XIb = layout["XI"]
-    scratch_bytes = (B * D * 2 + WR * D * D + SMALL * 4 + 2 * B * D * 2
+    scratch_bytes = (B * D * 2 + WROWS * D * D + SMALL * 4 + 2 * B * D * 2
                      + 2 * KR * KV_BLK * B * D * 2 + 2 * NMNV * B * XIb * 2
                      + 4 * B * 128 * 4 + 2 * B * D * 2)
     # temp allowance: the compiler's live SSA stack holds several chunk-
@@ -869,7 +913,7 @@ def _mega_call(cur, gates, wbase, hasx, npad, text_time, anc, x, w8, small,
         input_output_aliases={12: 1, 13: 2},
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.bfloat16),              # xbuf
-            pltpu.VMEM((WR, D, D), jnp.int8),              # wbuf ring
+            pltpu.VMEM((WROWS, D, D), jnp.int8),           # wbuf ring
             pltpu.VMEM((1, SMALL), jnp.float32),           # smallb
             pltpu.VMEM((2, 1, B, D), jnp.bfloat16),        # kvrow (k, v)
             pltpu.VMEM((KR, KV_BLK, B, D), jnp.bfloat16),  # krd
@@ -906,12 +950,17 @@ def _ring_defaults(D: int, B: int):
     VMEM. The weight ring default is 3: a paired idle-host A/B read
     WR=3 >= WR=2 in every comparison (pooled ~+2 captions/s, one extra
     in-flight chunk DMA for +D*D bytes of VMEM); KR deeper than 2 never
-    paid. Env overrides FLAMINGO_MEGA_WR / _KR / _KVBLK remain for A/B."""
+    paid. Env overrides FLAMINGO_MEGA_WR / _KR / _KVBLK remain for A/B.
+
+    FLAMINGO_MEGA_WB (r5, experimental): weight-block size — WB contiguous
+    chunks per DMA + semaphore wait (sync-point halving at WB=2, the KV_BLK
+    lever applied to the weight stream). Default 1 until measured."""
     import os
     wr = int(os.environ.get("FLAMINGO_MEGA_WR", "0")) or 3
     kr = int(os.environ.get("FLAMINGO_MEGA_KR", "0")) or 2
     kv_blk = int(os.environ.get("FLAMINGO_MEGA_KVBLK", "0")) or None
-    return wr, kr, kv_blk
+    wb = int(os.environ.get("FLAMINGO_MEGA_WB", "0")) or 1
+    return wr, kr, kv_blk, wb
 
 
 def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
@@ -931,7 +980,7 @@ def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
     _D, _Dff, _L, n_head = trunk_dims(arch)
     kv_limit = min(kv_limit if kv_limit is not None else kc.shape[1],
                    kc.shape[1])
-    wr, kr, kv_blk = _ring_defaults(_D, kc.shape[2])
+    wr, kr, kv_blk, wb = _ring_defaults(_D, kc.shape[2])
     kb = 1 if beam_anc is None else int(beam_anc.shape[1])
     anc = (jnp.zeros((kc.shape[2], 128), jnp.int32) if beam_anc is None
            else beam_anc)
@@ -944,4 +993,4 @@ def decode_step_megakernel(packed, xk, xv, kc, vc, x_emb, npad, text_time,
         layout_key=hashable_layout(packed["layout"]),
         act_name=arch.activation, xact_name=config.xattn_act,
         act_quant=act_quant, interpret=interpret, wr=wr, kr=kr,
-        kv_blk=kv_blk, kb=kb)
+        kv_blk=kv_blk, kb=kb, wb=wb)
